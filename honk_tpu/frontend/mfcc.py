@@ -1,0 +1,109 @@
+"""Batched, jit-able MFCC frontend in jax.numpy.
+
+TPU-first design: the STFT is expressed as two GEMMs against precomputed
+real-DFT basis matrices (so the whole frontend is a chain of MXU matmuls
+with fused element-wise ops in between), instead of an FFT butterfly —
+the FFT's O(n log n) advantage is irrelevant at n=480 while a GEMM runs
+at MXU speed and XLA fuses the windowing / |.|^2 / log into it.
+
+Pipeline (matches reference utils/manage_audio.py::AudioPreprocessor
+numerics; golden-tested against honk_tpu.frontend.reference):
+
+    audio (B, 16000) f32
+      -> reflect pad 240 both sides
+      -> frames (B, 101, 480) [strided gather]
+      -> * hann -> @ dft_cos, @ dft_sin -> power (B, 101, 241)
+      -> @ mel.T -> (B, 101, 40)
+      -> log where > 0 (zeros stay exactly 0)
+      -> @ dct.T -> (B, 101, 40) MFCC
+
+All matmuls run at float32 HIGHEST precision: the frontend feeds a
+parity-gated classifier (<=0.3% absolute accuracy budget), and bf16
+MXU passes would inject ~4e-3 relative error before the log.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import filters as F
+
+def _prec():
+    # HIGHEST forces full-f32 MXU passes on TPU (bf16 passes would inject
+    # ~4e-3 relative error before the log). On CPU f32 is already exact and
+    # HIGHEST triggers a pathologically slow XLA:CPU lowering, so use default.
+    return jax.lax.Precision.HIGHEST if jax.default_backend() == "tpu" else None
+
+
+def _mm(a, b):
+    """2D-collapsed matmul: (..., K) @ (K, N) with backend-chosen precision.
+
+    Collapsing the leading dims into one GEMM dimension gives XLA a single
+    large MXU matmul instead of a batched one.
+    """
+    lead = a.shape[:-1]
+    out = jnp.matmul(a.reshape(-1, a.shape[-1]), b, precision=_prec())
+    return out.reshape(*lead, b.shape[-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _consts():
+    # numpy (not jnp) on purpose: jnp arrays materialized during a jit
+    # trace are tracers and must not be cached across traces. XLA lifts
+    # these numpy operands into compile-time constants.
+    return F.frontend_constants(np.float32)
+
+
+def frame_audio(audio: jax.Array, n_fft: int = F.N_FFT, hop: int = F.HOP_LENGTH) -> jax.Array:
+    """(B, n_samples) -> (B, n_frames, n_fft) with center=True reflect padding."""
+    pad = n_fft // 2
+    padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + audio.shape[-1] // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return padded[:, idx]
+
+
+def power_spectrum(frames: jax.Array) -> jax.Array:
+    """Windowed GEMM-DFT power spectrum. (B, T, n_fft) -> (B, T, n_rfft)."""
+    c = _consts()
+    w = frames * c["window"]
+    re = _mm(w, c["dft_cos"])
+    im = _mm(w, c["dft_sin"])
+    return re * re + im * im
+
+
+def mel_log(power: jax.Array) -> jax.Array:
+    """Mel projection + honk's positive-masked log. (B, T, n_rfft) -> (B, T, n_mels)."""
+    c = _consts()
+    mel = _mm(power, c["mel"])
+    return jnp.where(mel > 0, jnp.log(jnp.where(mel > 0, mel, 1.0)), mel)
+
+
+def compute_mfccs(audio: jax.Array) -> jax.Array:
+    """Batched MFCC: (B, n_samples) float32 -> (B, n_frames, n_dct) float32.
+
+    Equivalent of reference AudioPreprocessor.compute_mfccs, batched and
+    jit-able (pure function of its input; all constants baked in).
+    """
+    if audio.ndim != 2:
+        raise ValueError(
+            f"compute_mfccs expects batched audio of shape (B, n_samples); got {audio.shape}. "
+            "For a single utterance, pass audio[None, :]."
+        )
+    if audio.dtype not in (jnp.float32, jnp.bfloat16, jnp.float64):
+        raise ValueError(
+            f"compute_mfccs expects float audio in [-1, 1]; got dtype {audio.dtype}. "
+            "Convert int16 PCM with honk_tpu.data.wavio first (x / 32768)."
+        )
+    c = _consts()
+    frames = frame_audio(audio)
+    power = power_spectrum(frames)
+    logmel = mel_log(power)
+    return _mm(logmel, c["dct"])
+
+
+compute_mfccs_jit = jax.jit(compute_mfccs)
