@@ -1,0 +1,68 @@
+"""Checkpointing via orbax: step checkpoints, best-dev retention, resume.
+
+Equivalent of reference ``utils/model.py::SerializableModule.save/load``
+(= torch.save of a state dict, keeping the best-dev model), extended with
+what the reference lacks (SURVEY.md §5.3-5.4): step-indexed periodic
+checkpoints including optimizer state and data-pipeline PRNG state, and
+resume-from-latest. Reference ``.pt`` files are imported via
+``honk_tpu.models.torch_compat.load_honk_checkpoint``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    """Thin orbax wrapper: save/restore pytrees at step-indexed paths + 'best'."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, name: str, tree: Any, force: bool = True) -> None:
+        path = self._path(name)
+        self._ckptr.save(path, _to_numpy(tree), force=force)
+        self._ckptr.wait_until_finished()
+
+    def save_step(self, step: int, tree: Any) -> None:
+        self.save(f"step_{step:08d}", tree)
+
+    def save_best(self, tree: Any) -> None:
+        self.save("best", tree)
+
+    def restore(self, name: str, template: Any | None = None) -> Any:
+        path = self._path(name)
+        if template is not None:
+            return self._ckptr.restore(path, target=_to_numpy(template))
+        return self._ckptr.restore(path)
+
+    def latest_step(self) -> int | None:
+        steps = [
+            int(d.split("_")[1])
+            for d in os.listdir(self.directory)
+            if d.startswith("step_") and os.path.isdir(os.path.join(self.directory, d))
+        ]
+        return max(steps) if steps else None
+
+    def restore_latest(self, template: Any | None = None) -> tuple[int, Any] | None:
+        step = self.latest_step()
+        if step is None:
+            return None
+        return step, self.restore(f"step_{step:08d}", template)
+
+    def has(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+
+def _to_numpy(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)

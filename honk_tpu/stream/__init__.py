@@ -1,0 +1,9 @@
+from .streamer import (  # noqa: F401
+    Detection,
+    Streamer,
+    StreamState,
+    detect,
+    frame_mfccs,
+    smooth_posteriors,
+    stream_file,
+)

@@ -1,0 +1,206 @@
+"""Streaming continuous keyword detection over long/unbounded audio.
+
+Equivalent of reference ``service.py::stride`` + ``utils/speech_demo.py``
+(overlapping 1 s windows evaluated every hop, posteriors smoothed, then
+thresholded — SURVEY.md §3.4), redesigned TPU-first (BASELINE.json:11):
+
+- **Offline/batched** (``stream_file``): every 10 ms MFCC frame of the
+  long audio is computed exactly once by the batched GEMM frontend, then
+  overlapping 101-frame windows are *views* over the frame axis (a
+  gather), and the classifier runs over all windows as one batch. This is
+  the vectorized form of the "persistent feature buffer — recompute only
+  the new frames" optimization: per window only hop/10ms new frames of
+  frontend work, O(1) in window overlap.
+- **Online/stateful** (``Streamer``): fixed-size chunks feed a persistent
+  on-chip feature ring buffer; each chunk computes only its own new
+  frames' MFCCs, pushes them into the ring, and scores the current
+  window. State is a pytree of fixed-shape device arrays — the step is
+  one jit-ed program, O(1) memory in stream length.
+
+Posterior smoothing: mean of the last ``smoothing_window`` window
+posteriors; a detection fires when the smoothed probability of a
+non-silence/non-unknown label exceeds ``detection_threshold``, with a
+refractory gap of ``min_gap_windows`` between fires.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StreamConfig
+from ..frontend import filters as F
+from ..frontend.mfcc import compute_mfccs, power_spectrum, mel_log, _consts, _mm
+
+WINDOW_FRAMES = F.N_FRAMES  # 101
+HOP = F.HOP_LENGTH  # 160
+NFFT = F.N_FFT  # 480
+
+
+def frame_mfccs(audio: jax.Array) -> jax.Array:
+    """All center=True MFCC frames of arbitrary-length audio: (L,) -> (n_frames, 40)."""
+    pad = NFFT // 2
+    padded = jnp.pad(audio[None, :], ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + audio.shape[0] // HOP
+    idx = np.arange(n_frames)[:, None] * HOP + np.arange(NFFT)[None, :]
+    frames = padded[0, idx]
+    return _mfcc_of_frames(frames)
+
+
+def _mfcc_of_frames(frames: jax.Array) -> jax.Array:
+    """(n, 480) raw sample frames -> (n, 40) MFCC (shared GEMM path)."""
+    c = _consts()
+    p = power_spectrum(frames[None])[0]
+    m = mel_log(p[None])[0]
+    return _mm(m, c["dct"])
+
+
+@functools.partial(jax.jit, static_argnames=("hop_frames", "batch"))
+def _window_gather(feats: jax.Array, hop_frames: int, batch: int) -> jax.Array:
+    """(n_frames, 40) -> (batch, 101, 40) overlapping windows."""
+    starts = jnp.arange(batch) * hop_frames
+    idx = starts[:, None] + jnp.arange(WINDOW_FRAMES)[None, :]
+    return feats[idx]
+
+
+def smooth_posteriors(post: jax.Array, w: int) -> jax.Array:
+    """Trailing mean over the window axis: (n, L) -> (n, L)."""
+    n = post.shape[0]
+    cs = jnp.cumsum(post, axis=0)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
+    starts = jnp.maximum(jnp.arange(n) - w + 1, 0)
+    counts = (jnp.arange(n) - starts + 1).astype(post.dtype)
+    return (cs[jnp.arange(n) + 1] - cs[starts]) / counts[:, None]
+
+
+@dataclasses.dataclass
+class Detection:
+    time_s: float
+    label: int
+    score: float
+
+
+def detect(smoothed: np.ndarray, cfg: StreamConfig, hop_s: float) -> list[Detection]:
+    """Threshold smoothed posteriors into detection events (host-side)."""
+    events: list[Detection] = []
+    last_fire = -(10**9)
+    last_label = -1
+    for i in range(smoothed.shape[0]):
+        probs = smoothed[i]
+        label = int(probs[2:].argmax()) + 2  # skip silence/unknown
+        score = float(probs[label])
+        if score >= cfg.detection_threshold:
+            if i - last_fire >= cfg.min_gap_windows or label != last_label:
+                events.append(Detection(time_s=i * hop_s, label=label, score=score))
+                last_fire = i
+                last_label = label
+    return events
+
+
+def stream_file(
+    model,
+    variables: dict[str, Any],
+    audio: np.ndarray,
+    cfg: StreamConfig | None = None,
+) -> tuple[np.ndarray, list[Detection]]:
+    """Offline continuous detection over a long mono waveform.
+
+    Returns (smoothed posteriors (n_windows, n_labels), detections).
+    """
+    cfg = cfg or StreamConfig()
+    hop_frames = cfg.hop_samples // HOP
+    audio_j = jnp.asarray(audio, jnp.float32)
+    feats = frame_mfccs(audio_j)  # each frame computed exactly once
+    n_frames = feats.shape[0]
+    n_windows = max(0, (n_frames - WINDOW_FRAMES) // hop_frames + 1)
+    if n_windows == 0:
+        return np.zeros((0, 1)), []
+    windows = _window_gather(feats, hop_frames, n_windows)
+    logits = model.apply(variables, windows, train=False)
+    post = jax.nn.softmax(logits, axis=-1)
+    smoothed = np.asarray(smooth_posteriors(post, cfg.smoothing_window))
+    hop_s = cfg.hop_samples / F.SAMPLE_RATE
+    return smoothed, detect(smoothed, cfg, hop_s)
+
+
+class StreamState(NamedTuple):
+    """Fixed-shape device-resident streaming state (O(1) in stream length)."""
+
+    sample_tail: jax.Array  # (NFFT,) last samples for framing context
+    feat_ring: jax.Array  # (WINDOW_FRAMES, 40) rolling feature window
+    post_ring: jax.Array  # (smoothing_window, n_labels) recent posteriors
+    frames_seen: jax.Array  # () int32
+    windows_seen: jax.Array  # () int32
+
+
+class Streamer:
+    """Online chunked streaming: one jit-ed step per fixed-size chunk.
+
+    Chunk size must be a multiple of the 10 ms frame hop. Each step
+    computes MFCCs for the chunk's new frames ONLY, rolls them into the
+    persistent feature ring, scores the window, and pushes the posterior
+    into the smoothing ring.
+    """
+
+    def __init__(self, model, variables, cfg: StreamConfig | None = None, chunk_samples: int = 3200):
+        assert chunk_samples % HOP == 0, "chunk must be a multiple of the 10ms hop"
+        self.cfg = cfg or StreamConfig()
+        self.model = model
+        self.variables = variables
+        self.chunk = chunk_samples
+        self.n_new = chunk_samples // HOP
+        self.n_labels = int(model.config["n_labels"])
+        self._step = jax.jit(self._step_impl)
+
+    def reset(self) -> StreamState:
+        return StreamState(
+            sample_tail=jnp.zeros((NFFT,), jnp.float32),
+            feat_ring=jnp.zeros((WINDOW_FRAMES, F.N_DCT), jnp.float32),
+            post_ring=jnp.zeros((self.cfg.smoothing_window, self.n_labels), jnp.float32),
+            frames_seen=jnp.zeros((), jnp.int32),
+            windows_seen=jnp.zeros((), jnp.int32),
+        )
+
+    def _step_impl(self, state: StreamState, chunk: jax.Array):
+        # Assemble [tail | chunk]; new frames start inside the tail so each
+        # 480-sample frame has full left context (no center padding online —
+        # a causal 30 ms latency instead).
+        buf = jnp.concatenate([state.sample_tail, chunk])
+        starts = np.arange(self.n_new) * HOP
+        idx = starts[:, None] + np.arange(NFFT)[None, :]
+        frames = buf[idx]
+        new_feats = _mfcc_of_frames(frames)  # (n_new, 40)
+
+        feat_ring = jnp.roll(state.feat_ring, -self.n_new, axis=0)
+        feat_ring = feat_ring.at[-self.n_new :].set(new_feats)
+
+        logits = self.model.apply(self.variables, feat_ring[None], train=False)[0]
+        post = jax.nn.softmax(logits)
+        post_ring = jnp.roll(state.post_ring, -1, axis=0).at[-1].set(post)
+
+        frames_seen = state.frames_seen + self.n_new
+        windows_seen = state.windows_seen + 1
+        have = jnp.minimum(windows_seen, self.cfg.smoothing_window).astype(jnp.float32)
+        # Mean over the filled part of the ring.
+        w = self.cfg.smoothing_window
+        mask = (jnp.arange(w) >= (w - jnp.minimum(windows_seen, w)))[:, None]
+        smoothed = jnp.sum(jnp.where(mask, post_ring, 0.0), axis=0) / have
+
+        new_state = StreamState(
+            sample_tail=buf[-NFFT:],
+            feat_ring=feat_ring,
+            post_ring=post_ring,
+            frames_seen=frames_seen,
+            windows_seen=windows_seen,
+        )
+        return new_state, smoothed
+
+    def process(self, state: StreamState, chunk: np.ndarray) -> tuple[StreamState, np.ndarray]:
+        """Feed one chunk; returns (state, smoothed posterior (n_labels,))."""
+        assert chunk.shape == (self.chunk,)
+        return self._step(state, jnp.asarray(chunk, jnp.float32))

@@ -1,0 +1,152 @@
+"""Host-side training and evaluation loops.
+
+Equivalent of reference ``utils/train.py::train / evaluate`` (SURVEY.md
+§3.1-3.2), with the TPU-native structure: packed corpus resident in HBM,
+one jit-ed program per step (see steps.py), dev eval every ``dev_every``
+epochs keeping the best-dev model, final test accuracy printed the same
+way the reference does.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data import AugmentConfig, eval_batch, load_speech_commands
+from ..data.dataset import PackedDataset, PackedSplit
+from ..metrics import MetricsLogger
+from ..models import find_config, find_model
+from ..parallel import make_data_mesh, replicate, replicated
+from .state import TrainState, create_train_state, make_optimizer
+from .steps import make_eval_step, make_train_step
+
+
+def evaluate_split(eval_step, params, batch_stats, split: PackedSplit, batch_size: int = 256) -> float:
+    """Deterministic accuracy over a packed split."""
+    audio = jnp.asarray(split.audio)
+    labels = jnp.asarray(split.labels)
+    n = len(split)
+    correct = 0
+    total = 0
+    for start in range(0, n, batch_size):
+        a, l, valid = eval_batch(audio, labels, start, batch_size)
+        c, t = eval_step(params, batch_stats, a, l, valid)
+        correct += int(c)
+        total += int(t)
+    return correct / max(total, 1)
+
+
+def train(cfg: ExperimentConfig, dataset: PackedDataset | None = None, logger: MetricsLogger | None = None) -> dict[str, Any]:
+    """Full training run. Returns {'state', 'best_dev_acc', 'test_acc', 'model'}."""
+    logger = logger or MetricsLogger()
+    if dataset is None:
+        dataset = load_speech_commands(
+            cfg.data.data_dir,
+            wanted_words=tuple(cfg.data.wanted_words),
+            unknown_prob=cfg.data.unknown_prob,
+            silence_prob=cfg.data.silence_prob,
+            dev_pct=cfg.data.dev_pct,
+            test_pct=cfg.data.test_pct,
+            seed=cfg.data.seed,
+        )
+
+    model_cfg = find_config(cfg.train.model)
+    model_cfg["n_labels"] = dataset.n_labels
+    model = find_model(cfg.train.model)(config=model_cfg)
+
+    tx = make_optimizer(
+        lrs=tuple(cfg.train.lr),
+        boundaries=tuple(cfg.train.schedule),
+        momentum=cfg.train.momentum,
+        weight_decay=cfg.train.weight_decay,
+        nesterov=cfg.train.use_nesterov,
+    )
+
+    mesh = make_data_mesh(cfg.mesh.n_devices, cfg.mesh.data_axis)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = create_train_state(model, tx, rng)
+    state = replicate(mesh, state)
+
+    # Device-resident packed corpus (replicated; gathers are local).
+    audio_i16 = replicate(mesh, jnp.asarray(dataset.train.audio))
+    labels_arr = replicate(mesh, jnp.asarray(dataset.train.labels))
+    noise = replicate(mesh, jnp.asarray(dataset.noise))
+
+    n_train = len(dataset.train)
+    n_silence = int(cfg.data.silence_prob * n_train)
+    aug = AugmentConfig(
+        noise_prob=cfg.data.noise_prob,
+        timeshift_samples=cfg.data.timeshift_samples,
+        n_silence=n_silence,
+    )
+    train_step = make_train_step(
+        model, tx, cfg.train.batch_size, aug, data_axis=cfg.mesh.data_axis
+    )
+    eval_step = make_eval_step(model)
+
+    steps_per_epoch = max(1, math.ceil((n_train + n_silence) / cfg.train.batch_size))
+    key = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    best_dev = -1.0
+    best = {"params": state.params, "batch_stats": state.batch_stats}
+    with jax.set_mesh(mesh):
+        for epoch in range(cfg.train.n_epochs):
+            losses, accs = [], []
+            for _ in range(steps_per_epoch):
+                state, m = train_step(state, key, audio_i16, labels_arr, noise)
+                losses.append(m["loss"])
+                accs.append(m["acc"])
+            logger.log(
+                "train_epoch",
+                epoch=epoch,
+                step=int(state.step),
+                loss=float(np.mean([float(x) for x in losses])),
+                acc=float(np.mean([float(x) for x in accs])),
+            )
+            if (epoch + 1) % cfg.train.dev_every == 0:
+                dev_acc = evaluate_split(
+                    eval_step, state.params, state.batch_stats, dataset.dev, cfg.train.eval_batch_size
+                )
+                logger.log("dev_eval", epoch=epoch, dev_acc=dev_acc)
+                if dev_acc > best_dev:
+                    best_dev = dev_acc
+                    # Host copies: the live state's buffers get donated into
+                    # the next train_step, so references would be deleted.
+                    best = jax.device_get(
+                        {"params": state.params, "batch_stats": state.batch_stats}
+                    )
+
+    test_acc = evaluate_split(
+        eval_step, best["params"], best["batch_stats"], dataset.test, cfg.train.eval_batch_size
+    )
+    # Reference prints exactly this phrase (utils/train.py::evaluate).
+    logger.log("final", test_acc=test_acc)
+    print(f"final test accuracy: {test_acc}")
+    return {
+        "state": state,
+        "best": best,
+        "best_dev_acc": best_dev,
+        "test_acc": test_acc,
+        "model": model,
+        "dataset": dataset,
+    }
+
+
+def evaluate(cfg: ExperimentConfig, variables: dict[str, Any], dataset: PackedDataset | None = None) -> float:
+    """Test-set accuracy for given weights (reference --type eval path)."""
+    if dataset is None:
+        dataset = load_speech_commands(cfg.data.data_dir, wanted_words=tuple(cfg.data.wanted_words))
+    model_cfg = find_config(cfg.train.model)
+    model_cfg["n_labels"] = dataset.n_labels
+    model = find_model(cfg.train.model)(config=model_cfg, precision="highest")
+    eval_step = make_eval_step(model)
+    acc = evaluate_split(
+        eval_step, variables["params"], variables.get("batch_stats", {}), dataset.test, cfg.train.eval_batch_size
+    )
+    print(f"final test accuracy: {acc}")
+    return acc

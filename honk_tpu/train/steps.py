@@ -1,0 +1,116 @@
+"""Jit-ed train/eval steps: ONE compiled program per step.
+
+TPU-first structure (SURVEY.md §3.1): the reference's hot loop crosses
+Python<->C boundaries per batch (DataLoader workers, librosa, ATen);
+here a single XLA program does batch sampling + augmentation + MFCC
+frontend + forward + backward + SGD update on device. The only
+host->device traffic per step is the scalar PRNG key — the packed corpus
+lives in HBM for the whole run. Under a data mesh, the batch dimension is
+sharded and XLA inserts the gradient all-reduce over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.augment import AugmentConfig, sample_train_batch
+from ..frontend.mfcc import compute_mfccs
+from .state import TrainState
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    batch_size: int,
+    aug_cfg: AugmentConfig,
+    donate: bool = True,
+    data_axis: str | None = None,
+):
+    """Build the jit-ed train step.
+
+    step(state, key, audio_i16, labels, noise) -> (state, metrics)
+
+    With ``data_axis`` set (and an ambient mesh via ``jax.set_mesh``), the
+    sampled batch is constrained to shard along that axis, making the
+    forward/backward data-parallel; XLA inserts the gradient all-reduce
+    because params stay replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def train_step(state: TrainState, key: jax.Array, audio_i16, labels_arr, noise):
+        k_sample, k_dropout = jax.random.split(jax.random.fold_in(key, state.step))
+        audio, labels = sample_train_batch(
+            k_sample, audio_i16, labels_arr, noise, batch_size, aug_cfg
+        )
+        if data_axis is not None:
+            audio = jax.lax.with_sharding_constraint(audio, P(data_axis))
+            labels = jax.lax.with_sharding_constraint(labels, P(data_axis))
+        feats = compute_mfccs(audio)
+
+        has_bn = bool(state.batch_stats)
+
+        def loss_fn(params):
+            variables: dict[str, Any] = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                logits, mut = model.apply(
+                    variables, feats, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": k_dropout},
+                )
+                new_stats = mut["batch_stats"]
+            else:
+                logits = model.apply(variables, feats, train=True, rngs={"dropout": k_dropout})
+                new_stats = state.batch_stats
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+        new_state = TrainState(
+            step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model):
+    """Build the jit-ed eval step over raw audio batches.
+
+    eval_step(params, batch_stats, audio_f32, labels, valid)
+      -> (n_correct, n_valid) device scalars
+    """
+
+    def eval_step(params, batch_stats, audio, labels, valid):
+        feats = compute_mfccs(audio)
+        variables: dict[str, Any] = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = model.apply(variables, feats, train=False)
+        correct = (jnp.argmax(logits, axis=-1) == labels) & valid
+        return jnp.sum(correct.astype(jnp.int32)), jnp.sum(valid.astype(jnp.int32))
+
+    return jax.jit(eval_step)
+
+
+def make_forward(model):
+    """Jit-ed raw-audio -> logits forward (serving / streaming / bench)."""
+
+    @jax.jit
+    def forward(params, batch_stats, audio):
+        feats = compute_mfccs(audio)
+        variables: dict[str, Any] = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, feats, train=False)
+
+    return forward

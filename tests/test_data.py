@@ -1,0 +1,109 @@
+"""Data pipeline tests: split parity, packing, on-device augmentation (SURVEY.md §4.4, §4.6)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from honk_tpu import data as D
+
+
+def test_which_set_parity_known_values():
+    # Golden values computed from the TF Speech Commands convention:
+    # SHA1 of the filename with _nohash_* stripped, bucketed mod 2^27-1.
+    # All clips of one "speaker" hash identically -> same split.
+    a = D.which_set("/x/yes/abcd1234_nohash_0.wav")
+    for n in range(1, 5):
+        assert D.which_set(f"/y/no/abcd1234_nohash_{n}.wav") == a
+
+
+def test_which_set_distribution():
+    rng = np.random.default_rng(0)
+    buckets = [
+        D.which_set(f"{rng.integers(16**8):08x}_nohash_0.wav") for _ in range(4000)
+    ]
+    frac_dev = buckets.count(D.DEV) / len(buckets)
+    frac_test = buckets.count(D.TEST) / len(buckets)
+    assert 0.07 < frac_dev < 0.13
+    assert 0.07 < frac_test < 0.13
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("speech_dataset"))
+    D.generate_dataset(root, clips_per_word=8, n_speakers=4)
+    return D.load_speech_commands(root, seed=0)
+
+
+def test_packed_dataset_structure(dataset):
+    assert dataset.n_labels == 12
+    assert dataset.label_names[:2] == ("__silence__", "__unknown__")
+    total = len(dataset.train) + len(dataset.dev) + len(dataset.test)
+    assert total > 0
+    assert dataset.train.audio.dtype == np.int16
+    assert dataset.train.audio.shape[1] == 16000
+    assert dataset.noise.dtype == np.float32
+    assert len(dataset.noise) > 16001
+    # Eval splits materialize silence with label 0.
+    if dataset.dev.n_silence:
+        assert (dataset.dev.labels[-dataset.dev.n_silence :] == 0).all()
+
+
+def test_wav_roundtrip(tmp_path):
+    x = (np.sin(np.linspace(0, 100, 16000)) * 0.5).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    D.write_wav(p, x)
+    back, sr = D.read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(back, x, atol=1e-4)
+    i16 = D.read_wav_int16(p)
+    assert i16.dtype == np.int16
+
+
+def test_timeshift_semantics():
+    audio = jnp.asarray(np.arange(1, 11, dtype=np.float32)[None, :].repeat(3, 0))
+    shift = jnp.asarray([0, 2, -3])
+    out = np.asarray(D.timeshift(audio, shift))
+    np.testing.assert_array_equal(out[0], np.arange(1, 11))
+    np.testing.assert_array_equal(out[1], [0, 0, 1, 2, 3, 4, 5, 6, 7, 8])
+    np.testing.assert_array_equal(out[2], [4, 5, 6, 7, 8, 9, 10, 0, 0, 0])
+
+
+def test_sample_train_batch(dataset):
+    cfg = D.AugmentConfig(n_silence=max(1, int(0.1 * len(dataset.train))))
+    audio = jnp.asarray(dataset.train.audio)
+    labels = jnp.asarray(dataset.train.labels)
+    noise = jnp.asarray(dataset.noise)
+    key = jax.random.PRNGKey(0)
+    batch, lab = D.sample_train_batch(key, audio, labels, noise, 64, cfg)
+    assert batch.shape == (64, 16000) and lab.shape == (64,)
+    b = np.asarray(batch)
+    assert np.abs(b).max() <= 1.0
+    assert np.isfinite(b).all()
+    # Deterministic in the key.
+    batch2, lab2 = D.sample_train_batch(key, audio, labels, noise, 64, cfg)
+    np.testing.assert_array_equal(np.asarray(batch), np.asarray(batch2))
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(lab2))
+    # Different keys give different batches.
+    batch3, _ = D.sample_train_batch(jax.random.PRNGKey(1), audio, labels, noise, 64, cfg)
+    assert not np.array_equal(np.asarray(batch), np.asarray(batch3))
+    # Silence appears with roughly the configured frequency over many draws.
+    labs = []
+    for i in range(20):
+        _, l = D.sample_train_batch(jax.random.PRNGKey(i), audio, labels, noise, 64, cfg)
+        labs.append(np.asarray(l))
+    frac_sil = (np.concatenate(labs) == 0).mean()
+    expect = cfg.n_silence / (len(dataset.train) + cfg.n_silence)
+    assert abs(frac_sil - expect) < 0.05
+
+
+def test_eval_batch_mask(dataset):
+    audio = jnp.asarray(dataset.dev.audio)
+    labels = jnp.asarray(dataset.dev.labels)
+    n = len(dataset.dev)
+    bs = 32
+    seen = 0
+    for start in range(0, n, bs):
+        a, l, valid = D.eval_batch(audio, labels, start, bs)
+        seen += int(np.asarray(valid).sum())
+    assert seen == n
