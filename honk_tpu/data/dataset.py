@@ -133,9 +133,24 @@ def load_speech_commands(
         n = len(entries)
         audio = np.zeros((max(n, 1), AUDIO_SAMPLES), np.int16)
         labels = np.zeros((max(n, 1),), np.int32)
-        for i, (f, lab) in enumerate(entries):
-            audio[i] = _load_clip(f)
-            labels[i] = lab
+        # Native multithreaded batch decode (honk_tpu/native/wavpack.cc);
+        # falls back to the pure-Python reader per file.
+        native = None
+        if n:
+            from ..native import wavpack
+
+            native = wavpack.load_files_packed([f for f, _ in entries], AUDIO_SAMPLES)
+        if native is not None:
+            decoded, lengths = native
+            audio[:n] = decoded
+            for i, (f, lab) in enumerate(entries):
+                labels[i] = lab
+                if lengths[i] < 0:  # native decode failed -> python fallback
+                    audio[i] = _load_clip(f)
+        else:
+            for i, (f, lab) in enumerate(entries):
+                audio[i] = _load_clip(f)
+                labels[i] = lab
         n_sil = int(silence_prob * n)
         if not is_train and n_sil > 0:
             # Deterministic materialized silence: scaled noise slices.

@@ -1,0 +1,97 @@
+"""Distributed DP tests on the virtual 8-device CPU mesh (SURVEY.md §4.5).
+
+Sharded-vs-single-device training must produce (tolerance-)equal params
+after several steps: identical PRNG keys drive identical sampled batches,
+so the only difference is where the per-example compute runs and the
+XLA-inserted gradient all-reduce.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from honk_tpu.data import AugmentConfig
+from honk_tpu.models import find_config, find_model
+from honk_tpu.parallel import make_data_mesh, replicate
+from honk_tpu.train import create_train_state, make_optimizer, make_train_step
+
+
+def _setup(n_clips=64):
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.integers(-3000, 3000, (n_clips, 16000), dtype=np.int16))
+    labels = jnp.asarray(rng.integers(2, 12, (n_clips,), dtype=np.int32))
+    noise = jnp.asarray((rng.standard_normal(16000 * 3) * 0.05).astype(np.float32))
+    cfg = find_config("res8-narrow")
+    model = find_model("res8-narrow")(config=cfg)
+    tx = make_optimizer(lrs=(0.01,), boundaries=())
+    return model, tx, audio, labels, noise
+
+
+def _run(model, tx, audio, labels, noise, n_devices, data_axis, steps=2, batch=16):
+    mesh = make_data_mesh(n_devices, "data")
+    state = create_train_state(model, tx, jax.random.PRNGKey(0))
+    state = replicate(mesh, state)
+    audio_r, labels_r, noise_r = replicate(mesh, (audio, labels, noise))
+    step = make_train_step(
+        model, tx, batch, AugmentConfig(n_silence=4), donate=False, data_axis=data_axis
+    )
+    key = jax.random.PRNGKey(7)
+    losses = []
+    with jax.set_mesh(mesh):
+        for _ in range(steps):
+            state, metrics = step(state, key, audio_r, labels_r, noise_r)
+            losses.append(float(metrics["loss"]))
+    return jax.device_get(state), losses
+
+
+def test_dp_matches_single_device():
+    model, tx, audio, labels, noise = _setup()
+    s1, l1 = _run(model, tx, audio, labels, noise, 1, None)
+    s8, l8 = _run(model, tx, audio, labels, noise, 8, "data")
+    # Identical PRNG keys -> identical sampled batches; the first-step loss
+    # must agree to float-reduction noise.
+    np.testing.assert_allclose(l1[0], l8[0], rtol=1e-5)
+    # Params after 2 steps: BN+ReLU amplify reassociation noise, so compare
+    # with a noise-scale tolerance (semantic divergence would be >>1e-3).
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(a, b, atol=5e-4)
+        assert np.max(np.abs(a - b)) < 1e-3
+
+
+def test_batch_is_actually_sharded():
+    """The sampled batch inside the step must be distributed: verify the
+    jit-ed program's output shards land on all 8 devices when we surface
+    the constrained batch."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_data_mesh(8, "data")
+
+    @jax.jit
+    def make_batch(x):
+        y = x * 2.0
+        return jax.lax.with_sharding_constraint(y, P("data"))
+
+    with jax.set_mesh(mesh):
+        out = make_batch(jnp.zeros((16, 100), jnp.float32))
+        out.block_until_ready()
+    devices = {s.device for s in out.addressable_shards}
+    assert len(devices) == 8
+
+
+def test_eval_metric_reduction_psum():
+    """Eval correctness is a pure reduction; check an explicit shard_map
+    psum path agrees with the direct computation."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_data_mesh(8, "data")
+    x = jnp.arange(64, dtype=jnp.int32)
+
+    def count_even(xs):
+        local = jnp.sum((xs % 2 == 0).astype(jnp.int32))
+        return jax.lax.psum(local, "data")
+
+    total = jax.jit(
+        jax.shard_map(count_even, mesh=mesh, in_specs=P("data"), out_specs=P())
+    )(x)
+    assert int(total) == 32
