@@ -8,15 +8,16 @@ Target >= 50,000 audio-s/s/chip; vs_baseline is value / 50000.
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-Methodology: the hot loop is a lax.scan of K batches inside ONE XLA
-program over a device-resident audio pool — measuring device throughput,
-not host/tunnel dispatch latency (this dev box reaches the chip through a
-~30 ms RTT tunnel; production serving pipelines dispatches). Per-batch
-time is the MARGINAL cost between a short and a long scan,
-(t_long - t_short) / (L_long - L_short), which cancels fixed
-dispatch/transfer overhead and any small-program fast-path anomalies in
-the tunnel. Inputs stay in HBM: at 50k audio-s/s host feeding would need
-1.6 GB/s (SURVEY.md §6 "feed/layout-bound, not FLOP-bound").
+Methodology: dependency-chained dispatches (each link consumes the
+previous link's output, so nothing can be elided) in LONG chains, with
+per-batch time taken as the MARGINAL cost between a short and a long
+chain: (t_long - t_short) / (L_long - L_short). This dev box reaches the
+chip through a tunnel whose completion acks are unreliable at fine grain
+(sub-chains can "complete" in microseconds); seconds-scale chains swamp
+that, and the marginal cancels fixed dispatch overhead. A flops sanity
+field reports implied TFLOP/s — if it exceeds the chip's peak the
+measurement is flagged suspect. Inputs stay in HBM: at 50k audio-s/s
+host feeding would need 1.6 GB/s (SURVEY.md §6).
 """
 
 from __future__ import annotations
@@ -38,9 +39,9 @@ def main() -> None:
     from honk_tpu.train import create_train_state, make_optimizer, make_train_step
 
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    scan_short = int(os.environ.get("BENCH_SCAN_SHORT", "10"))
-    scan_long = int(os.environ.get("BENCH_SCAN_LONG", "50"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    scan_short = int(os.environ.get("BENCH_SCAN_SHORT", "20"))
+    scan_long = int(os.environ.get("BENCH_SCAN_LONG", "80"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     model_name = os.environ.get("BENCH_MODEL", "res8")
 
     cfg = find_config(model_name)
@@ -54,40 +55,46 @@ def main() -> None:
     pool_n = max(2048, batch * 2)
     pool = jnp.asarray((rng.standard_normal((pool_n, 16000)) * 0.1).astype(np.float32))
 
-    @jax.jit
-    def infer_step(params, batch_stats, pool, carry):
-        """One inference batch; `carry` creates a data dependency so chained
-        dispatches are forcibly serialized (no caching/skip possible)."""
-        start = (carry.astype(jnp.int32) % 7) * ((pool_n - batch) // 7)
-        audio = jax.lax.dynamic_slice(pool, (start, 0), (batch, 16000)) + carry * 1e-12
-        feats = compute_mfccs(audio)
-        v = {"params": params}
-        if batch_stats:
-            v["batch_stats"] = batch_stats
-        logits = model.apply(v, feats, train=False)
-        return jnp.abs(jnp.sum(logits)) % 997.0 + 1.0
+    def make_infer_scan(length):
+        @jax.jit
+        def infer_scan(params, batch_stats, pool, seed):
+            def body(carry, _):
+                i, acc = carry
+                start = (i * batch) % (pool_n - batch)
+                audio = jax.lax.dynamic_slice(pool, (start, 0), (batch, 16000)) + acc * 1e-12
+                feats = compute_mfccs(audio)
+                v = {"params": params}
+                if batch_stats:
+                    v["batch_stats"] = batch_stats
+                logits = model.apply(v, feats, train=False)
+                return (i + 1, acc + jnp.sum(logits)), None
 
-    def chain_time(step_fn, n_links, *args, carry0):
-        """Wall time of a dependency chain of n_links dispatches."""
-        carry = carry0
-        t0 = time.perf_counter()
-        for _ in range(n_links):
-            carry = step_fn(*args, carry)
-        jax.block_until_ready(carry)
-        return time.perf_counter() - t0
+            (i, acc), _ = jax.lax.scan(body, (0, seed), None, length=length)
+            return acc
 
-    def marginal(step_fn, *args, carry0):
-        """Marginal per-link time between short and long chains (cancels
-        fixed dispatch/tunnel overhead); median of reps."""
-        chain_time(step_fn, 3, *args, carry0=carry0)  # warmup/compile
+        return infer_scan
+
+    def scan_marginal(short_fn, long_fn, *args):
+        """Median marginal per-iteration time between two in-jit scan lengths.
+        In-jit scans of length >= ~20 time honestly on this tunnel (short
+        programs and scalar-only-varying chains do NOT — see memory notes)."""
+        jax.block_until_ready(short_fn(*args, jnp.float32(0.0)))
+        jax.block_until_ready(long_fn(*args, jnp.float32(0.0)))
         ms = []
-        for _ in range(reps):
-            ts = chain_time(step_fn, scan_short, *args, carry0=carry0)
-            tl = chain_time(step_fn, scan_long, *args, carry0=carry0)
+        for r in range(reps):
+            seed = jnp.float32((r + 1) * 1e-6)
+            t0 = time.perf_counter()
+            jax.block_until_ready(short_fn(*args, seed))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(long_fn(*args, seed))
+            tl = time.perf_counter() - t0
             ms.append((tl - ts) / (scan_long - scan_short))
         return float(np.median(ms))
 
-    infer_t = marginal(infer_step, params, batch_stats, pool, carry0=jnp.float32(1.0))
+    infer_t = scan_marginal(
+        make_infer_scan(scan_short), make_infer_scan(scan_long), params, batch_stats, pool
+    )
     infer_aps = batch / infer_t
 
     # ---- training: scan of full train steps (sample+augment+mfcc+fwd/bwd+sgd) ----
@@ -99,30 +106,34 @@ def main() -> None:
     state0 = create_train_state(model, tx, jax.random.PRNGKey(0))
     step = make_train_step(model, tx, batch, AugmentConfig(n_silence=batch // 10), donate=False)
 
-    key = jax.random.PRNGKey(1)
+    def make_train_scan(length):
+        @jax.jit
+        def train_scan(state, audio_i16, labels, noise, seed):
+            key = jax.random.PRNGKey(1)
+            key = jax.random.fold_in(key, (seed * 1e7).astype(jnp.int32))
 
-    def train_link(audio_i16, labels, noise, carry):
-        # carry = (state, loss); state threading serializes the chain.
-        state, _ = carry
-        new_state, metrics = step(state, key, audio_i16, labels, noise)
-        return (new_state, metrics["loss"])
+            def body(carry, _):
+                state, key = carry
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, sub, audio_i16, labels, noise)
+                return (state, key), metrics["loss"]
 
-    def train_chain(n_links):
-        carry = (state0, jnp.float32(0.0))
-        t0 = time.perf_counter()
-        for _ in range(n_links):
-            carry = train_link(audio_i16, labels, noise, carry)
-        jax.block_until_ready(carry)
-        return time.perf_counter() - t0
+            (state, _), losses = jax.lax.scan(body, (state, key), None, length=length)
+            return losses[-1]
 
-    train_chain(3)  # warmup/compile
-    ms = []
-    for _ in range(reps):
-        ts = train_chain(scan_short)
-        tl = train_chain(scan_long)
-        ms.append((tl - ts) / (scan_long - scan_short))
-    train_t = float(np.median(ms))
+        return train_scan
+
+    train_t = scan_marginal(
+        make_train_scan(scan_short), make_train_scan(scan_long),
+        state0, audio_i16, labels, noise,
+    )
     train_aps = batch / train_t
+
+    # Sanity: implied model+frontend FLOP rate (res8 ~124 GFLOP/1024 batch fwd).
+    fwd_flops_per_sample = 171e6  # conv stack ~124e6 + frontend ~47e6
+    infer_tflops = infer_aps * fwd_flops_per_sample / 1e12
+    train_tflops = train_aps * 3 * fwd_flops_per_sample / 1e12
+    suspect = bool(infer_tflops > 500 or train_tflops > 500)  # v5e peak ~394 bf16
 
     value = float(np.sqrt(infer_aps * train_aps))  # geometric mean of the two modes
     result = {
@@ -136,6 +147,8 @@ def main() -> None:
         "scan_lens": [scan_short, scan_long],
         "model": model_name,
         "device": str(jax.devices()[0]),
+        "implied_tflops": [round(infer_tflops, 1), round(train_tflops, 1)],
+        "suspect": suspect,
     }
     print(json.dumps(result))
 
