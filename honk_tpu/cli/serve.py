@@ -1,0 +1,50 @@
+"""Serving CLI: start the keyword-spotting HTTP service.
+
+Equivalent of the reference's root server entry (``python .`` with
+config.json selecting backend/model/commands). Here:
+
+    python -m honk_tpu.cli.serve --model res8 --checkpoint ckpts/res8 \
+        [--port 16888] [--no-train] [--config config.json]
+
+--config accepts a reference-style config.json with keys
+{"model_path": ..., "commands": "cmd1,cmd2,..."}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="honk_tpu.serve", description=__doc__)
+    p.add_argument("--model", default="res8")
+    p.add_argument("--checkpoint", required=False, default="")
+    p.add_argument("--port", type=int, default=16888)
+    p.add_argument("--no-train", action="store_true")
+    p.add_argument("--config", default="", help="reference-style config.json")
+    args = p.parse_args(argv)
+
+    labels = None
+    checkpoint = args.checkpoint
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+        checkpoint = cfg.get("model_path", checkpoint)
+        if "commands" in cfg:
+            labels = ["__silence__", "__unknown__", *cfg["commands"].split(",")]
+
+    from ..serve import LabelService, serve
+
+    service = LabelService(args.model, checkpoint, labels=labels)
+    httpd = serve(service, port=args.port, enable_training=not args.no_train)
+    print(f"listening on :{args.port} model={args.model} labels={service.labels}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -105,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         from ..ckpt import Checkpointer
         from ..train import train
 
-        result = train(cfg, logger=logger)
+        result = train(cfg, logger=logger, checkpoint_dir=args.output_dir)
         ck = Checkpointer(args.output_dir)
         ck.save_best(result["best"])
         ck.save_step(int(result["state"].step), {

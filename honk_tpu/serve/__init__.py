@@ -1,0 +1,2 @@
+from .http import serve  # noqa: F401
+from .service import LabelService, TrainingService, default_labels  # noqa: F401

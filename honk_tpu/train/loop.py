@@ -41,8 +41,22 @@ def evaluate_split(eval_step, params, batch_stats, split: PackedSplit, batch_siz
     return correct / max(total, 1)
 
 
-def train(cfg: ExperimentConfig, dataset: PackedDataset | None = None, logger: MetricsLogger | None = None) -> dict[str, Any]:
-    """Full training run. Returns {'state', 'best_dev_acc', 'test_acc', 'model'}."""
+def train(
+    cfg: ExperimentConfig,
+    dataset: PackedDataset | None = None,
+    logger: MetricsLogger | None = None,
+    checkpoint_dir: str | None = None,
+    save_every_epochs: int = 5,
+    resume: bool = True,
+) -> dict[str, Any]:
+    """Full training run. Returns {'state', 'best_dev_acc', 'test_acc', 'model'}.
+
+    With ``checkpoint_dir``: periodic step-indexed orbax checkpoints
+    (params + optimizer state + step + epoch + best-dev bookkeeping) every
+    ``save_every_epochs`` epochs, and resume-from-latest on restart —
+    capability the reference lacks (SURVEY.md §5.3-5.4; a crash there
+    loses the run except the last best-dev model).
+    """
     logger = logger or MetricsLogger()
     if dataset is None:
         dataset = load_speech_commands(
@@ -93,9 +107,50 @@ def train(cfg: ExperimentConfig, dataset: PackedDataset | None = None, logger: M
     key = jax.random.PRNGKey(cfg.train.seed + 1)
 
     best_dev = -1.0
-    best = {"params": state.params, "batch_stats": state.batch_stats}
+    # Host copies from the start: train_step donates state buffers, so any
+    # live reference held across a step would be use-after-free.
+    best = jax.device_get({"params": state.params, "batch_stats": state.batch_stats})
+    start_epoch = 0
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        from ..ckpt import Checkpointer
+
+        ckpt = Checkpointer(checkpoint_dir)
+        if resume:
+            template = {
+                "state": state,
+                "epoch": 0,
+                "best_dev": -1.0,
+                "best": best,
+                "key": key,
+            }
+            restored = ckpt.restore_latest(template)
+            if restored is not None:
+                _, payload = restored
+                state = jax.tree.map(jnp.asarray, payload["state"])
+                start_epoch = int(payload["epoch"]) + 1
+                best_dev = float(payload["best_dev"])
+                best = payload["best"]
+                key = jnp.asarray(payload["key"])
+                logger.log("resume", epoch=start_epoch, step=int(state.step), best_dev=best_dev)
+
+    def _save(epoch: int) -> None:
+        if ckpt is None:
+            return
+        ckpt.save_step(
+            int(state.step),
+            {
+                "state": jax.device_get(state),
+                "epoch": epoch,
+                "best_dev": best_dev,
+                "best": jax.device_get(best),
+                "key": jax.device_get(key),
+            },
+        )
+
     with jax.set_mesh(mesh):
-        for epoch in range(cfg.train.n_epochs):
+        for epoch in range(start_epoch, cfg.train.n_epochs):
             losses, accs = [], []
             for _ in range(steps_per_epoch):
                 state, m = train_step(state, key, audio_i16, labels_arr, noise)
@@ -120,6 +175,8 @@ def train(cfg: ExperimentConfig, dataset: PackedDataset | None = None, logger: M
                     best = jax.device_get(
                         {"params": state.params, "batch_stats": state.batch_stats}
                     )
+            if (epoch + 1) % save_every_epochs == 0:
+                _save(epoch)
 
     test_acc = evaluate_split(
         eval_step, best["params"], best["batch_stats"], dataset.test, cfg.train.eval_batch_size

@@ -1,0 +1,155 @@
+"""Service-layer tests: snippet utils, label service, personalization,
+HTTP endpoints (real socket), checkpoint resume."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from honk_tpu.audio import AudioSnippet
+from honk_tpu.models import find_config, find_model
+from honk_tpu.serve import LabelService, TrainingService, serve
+
+
+# ---- AudioSnippet ----
+def test_snippet_trim():
+    x = np.zeros(16000, np.float32)
+    x[4000:8000] = 0.5 * np.sin(np.linspace(0, 200, 4000))
+    s = AudioSnippet(x).trim(threshold=0.05)
+    assert 3800 <= len(s) <= 4400  # keeps only the loud span (window quantized)
+
+
+def test_snippet_trim_window_finds_energy():
+    x = np.zeros(48000, np.float32)
+    x[30000:34000] = 0.8
+    s = AudioSnippet(x).trim_window(16000)
+    assert len(s) == 16000
+    assert s.data.sum() > 3000 * 0.8  # the energetic span is inside
+
+
+def test_snippet_contrastive():
+    x = np.sin(np.linspace(0, 100, 16000)).astype(np.float32)
+    negs = AudioSnippet(x).generate_contrastive(8)
+    assert len(negs) == 8
+    for n in negs:
+        assert len(n) == 16000
+        assert not np.array_equal(n.data, x)
+
+
+def test_snippet_all_silent_trim():
+    s = AudioSnippet(np.zeros(8000, np.float32)).trim()
+    assert len(s) == 0
+
+
+# ---- LabelService ----
+@pytest.fixture(scope="module")
+def service():
+    cfg = find_config("res8-narrow")
+    model = find_model("res8-narrow")(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 101, 40), jnp.float32), train=False)
+    return LabelService("res8-narrow", variables, precision=None)
+
+
+def test_label_service_evaluate(service):
+    rng = np.random.default_rng(0)
+    label, prob = service.evaluate((rng.standard_normal(12000) * 0.1).astype(np.float32))
+    assert label in service.labels
+    assert 0.0 <= prob <= 1.0
+
+
+def test_label_service_batch(service):
+    rng = np.random.default_rng(1)
+    out = service.evaluate_batch((rng.standard_normal((4, 16000)) * 0.1).astype(np.float32))
+    assert len(out) == 4
+
+
+def test_label_service_long(service):
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    events = service.evaluate_long(audio)
+    assert isinstance(events, list)
+
+
+def test_training_service_personalizes(service):
+    rng = np.random.default_rng(3)
+    t = np.arange(16000) / 16000.0
+    positive = (0.4 * np.sin(2 * np.pi * 700 * t) * np.exp(-((t - 0.5) ** 2) / 0.05)).astype(
+        np.float32
+    )
+    trainer = TrainingService(service, learning_rate=0.05, steps=30)
+    result = trainer.fine_tune([positive, positive * 0.9], target_label="yes")
+    new_svc = LabelService("res8-narrow", result["variables"], precision=None)
+    label, prob = new_svc.evaluate(positive)
+    assert label == "yes", f"personalization failed: {label} ({prob})"
+
+
+# ---- HTTP ----
+def test_http_listen_and_errors(service):
+    httpd = serve(service, port=0, enable_training=False)  # port 0 = ephemeral
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        # valid /listen
+        rng = np.random.default_rng(0)
+        pcm = (rng.standard_normal(16000) * 3000).astype(np.int16).tobytes()
+        body = json.dumps({"wav_data": base64.b64encode(pcm).decode()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/listen", data=body, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert "label" in out and "prob" in out and "contains_command" in out
+
+        # /labels
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/labels") as r:
+            assert json.loads(r.read())["labels"] == service.labels
+
+        # malformed body -> 400
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/listen", data=b"not json")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # training disabled -> 503
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/train", data=b"{}")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+    finally:
+        httpd.shutdown()
+
+
+# ---- checkpoint resume ----
+def test_train_resume(tmp_path):
+    from honk_tpu import data as D
+    from honk_tpu.config import DataConfig, ExperimentConfig, TrainConfig
+    from honk_tpu.train import train
+
+    root = str(tmp_path / "sc")
+    D.generate_dataset(root, clips_per_word=6, n_speakers=3, noise_seconds=2)
+    ckdir = str(tmp_path / "ck")
+    cfg = ExperimentConfig(
+        data=DataConfig(data_dir=root, noise_prob=0.1),
+        train=TrainConfig(
+            model="res8-narrow", batch_size=16, n_epochs=2, lr=(0.01,), schedule=(),
+            dev_every=2, eval_batch_size=32,
+        ),
+    )
+    r1 = train(cfg, checkpoint_dir=ckdir, save_every_epochs=1)
+    step_after = int(r1["state"].step)
+
+    # Resume: asking for 4 epochs continues from epoch 2, not from scratch.
+    cfg.train.n_epochs = 4
+    r2 = train(cfg, checkpoint_dir=ckdir, save_every_epochs=10)
+    assert int(r2["state"].step) > step_after
+    assert int(r2["state"].step) < 2 * step_after + 4  # did NOT redo epochs 0-1
