@@ -1,0 +1,215 @@
+"""Fused Pallas res-stack inference megakernel (res8 / res26 families).
+
+TPU-native replacement for the reference's per-layer torch conv stack
+(``utils/model.py::SpeechResModel``): ONE Pallas kernel runs the entire
+post-pool residual stack — n_layers 3x3 convs, ReLU, identity residuals,
+affine-free BatchNorm (eval: folded to per-channel scale/offset) — plus
+the global average pool and the final Dense, with every activation
+resident in VMEM. The XLA path materializes each layer's (B, 25, 13, 45)
+activation in HBM; here HBM traffic is one block read + logits write.
+
+Kernel design (pallas_guide.md):
+- Layout: NHWC blocks of B_BLK utterances, channels zero-padded to 64
+  lanes (45 real). Each 3x3 conv = 9 statically-shifted VMEM slices of a
+  zero-border-padded activation buffer, each contracted on the MXU:
+      acc += X[:, dy:dy+H, dx:dx+W, :].reshape(B*H*W, C) @ W[dy, dx]
+  Zero borders make VALID slicing implement SAME padding exactly.
+- Residual structure matches the reference bit-for-bit in f32:
+      y = relu(conv_i(x)); if i even: y += old; old = y   (pre-BN sum)
+      x = y * bn_scale_i + bn_offset_i                    (affine-free BN)
+- compute_dtype=bfloat16 casts matmul operands (f32 accumulate) for MXU
+  rate; float32 is available for strict-parity serving.
+- res15's dilation-16 convs need 16-pixel halos (VMEM-prohibitive at
+  101x40); it stays on the XLA path. Scope: res8/res8-narrow/res26[-narrow].
+
+The surrounding ``res_forward_fused`` runs conv0+pool in XLA (one big
+MXU conv on the 101x40 map), pads, invokes the kernel, and returns logits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C_PAD = 64
+LABEL_PAD = 128
+
+
+def _make_kernel(n_layers: int, H: int, W: int, B_blk: int, compute_dtype):
+    """Builds the megakernel body for a fixed geometry."""
+
+    def kernel(x_ref, w_ref, s_ref, o_ref, dw_ref, db_ref, out_ref, xbuf, old_ref):
+        # xbuf: (B, H+2, W+2, C) zero-bordered activations (scratch)
+        # old_ref: (B, H, W, C) residual carry (scratch)
+        xbuf[:] = x_ref[:]
+        old_ref[:] = x_ref[:, 1 : H + 1, 1 : W + 1, :]
+
+        for i in range(n_layers):
+            acc = jnp.zeros((B_blk * H * W, C_PAD), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    patch = xbuf[:, dy : dy + H, dx : dx + W, :]
+                    a = patch.reshape(B_blk * H * W, C_PAD).astype(compute_dtype)
+                    w = w_ref[i, dy, dx].astype(compute_dtype)
+                    acc += jnp.dot(a, w, preferred_element_type=jnp.float32)
+            y = jnp.maximum(acc, 0.0).reshape(B_blk, H, W, C_PAD)
+            if (i + 1) % 2 == 0:
+                y = y + old_ref[:]
+                old_ref[:] = y
+            y = y * s_ref[i] + o_ref[i]
+            xbuf[:, 1 : H + 1, 1 : W + 1, :] = y
+
+        feats = jnp.mean(
+            xbuf[:, 1 : H + 1, 1 : W + 1, :].reshape(B_blk, H * W, C_PAD), axis=1
+        )
+        out_ref[:] = (
+            jnp.dot(
+                feats.astype(compute_dtype),
+                dw_ref[:].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + db_ref[:]
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_layers", "H", "W", "B_blk", "compute_dtype", "interpret")
+)
+def _res_stack_call(
+    x_padded,  # (B, H+2, W+2, C_PAD) f32, zero borders
+    w_all,  # (n_layers, 3, 3, C_PAD, C_PAD) f32
+    bn_scale,  # (n_layers, C_PAD)
+    bn_offset,  # (n_layers, C_PAD)
+    dense_w,  # (C_PAD, LABEL_PAD)
+    dense_b,  # (LABEL_PAD,)
+    n_layers: int,
+    H: int,
+    W: int,
+    B_blk: int = 8,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    B = x_padded.shape[0]
+    assert B % B_blk == 0, f"batch {B} must be divisible by block {B_blk}"
+    grid = (B // B_blk,)
+    kernel = _make_kernel(n_layers, H, W, B_blk, compute_dtype)
+    flops = 2 * B * n_layers * 9 * H * W * C_PAD * C_PAD
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, LABEL_PAD), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (B_blk, H + 2, W + 2, C_PAD), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_layers, 3, 3, C_PAD, C_PAD),
+                lambda i: (0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n_layers, C_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, C_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_PAD, LABEL_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LABEL_PAD,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B_blk, LABEL_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B_blk, H + 2, W + 2, C_PAD), jnp.float32),
+            pltpu.VMEM((B_blk, H, W, C_PAD), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x_padded.size * 4, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x_padded, w_all, bn_scale, bn_offset, dense_w, dense_b)
+
+
+def pack_res_params(variables: dict[str, Any], config: dict[str, Any]):
+    """Fold flax res-model variables into megakernel operand arrays."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    n_maps = config["n_feature_maps"]
+    n_layers = config["n_layers"]
+    eps = 1e-5
+
+    w_all = np.zeros((n_layers, 3, 3, C_PAD, C_PAD), np.float32)
+    bn_scale = np.zeros((n_layers, C_PAD), np.float32)
+    bn_offset = np.zeros((n_layers, C_PAD), np.float32)
+    for i in range(1, n_layers + 1):
+        k = np.asarray(params[f"conv{i}"]["kernel"])  # (3, 3, C, C)
+        w_all[i - 1, :, :, :n_maps, :n_maps] = k
+        mean = np.asarray(stats[f"bn{i}"]["mean"])
+        var = np.asarray(stats[f"bn{i}"]["var"])
+        s = 1.0 / np.sqrt(var + eps)
+        bn_scale[i - 1, :n_maps] = s
+        bn_offset[i - 1, :n_maps] = -mean * s
+
+    dw = np.zeros((C_PAD, LABEL_PAD), np.float32)
+    db = np.zeros((LABEL_PAD,), np.float32)
+    dk = np.asarray(params["output"]["kernel"])  # (C, n_labels)
+    # Padded channels are exactly zero through the whole stack (zero
+    # weights produce zero pre-activations; BN scale 0 keeps them zero),
+    # so the mean over real channels is unaffected.
+    dw[:n_maps, : dk.shape[1]] = dk
+    db[: dk.shape[1]] = np.asarray(params["output"]["bias"])
+    return (
+        jnp.asarray(w_all),
+        jnp.asarray(bn_scale),
+        jnp.asarray(bn_offset),
+        jnp.asarray(dw),
+        jnp.asarray(db),
+    )
+
+
+def res_forward_fused(
+    variables: dict[str, Any],
+    config: dict[str, Any],
+    feats: jax.Array,  # (B, 101, 40) MFCC
+    packed=None,
+    B_blk: int = 8,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused inference forward for res8/res26 geometries: logits (B, n_labels).
+
+    conv0 + avg-pool run in XLA (one large-map MXU conv); the rest is the
+    megakernel. Requires eval-mode batch_stats (training uses the XLA path).
+    """
+    assert not config.get("use_dilation"), "dilated res15 uses the XLA path"
+    n_maps = config["n_feature_maps"]
+    n_layers = config["n_layers"]
+    params = variables["params"]
+
+    x = feats[..., None]
+    k0 = jnp.asarray(params["conv0"]["kernel"])
+    y = jax.lax.conv_general_dilated(
+        x, k0, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    y = jax.nn.relu(y)
+    if "res_pool" in config:
+        p = tuple(config["res_pool"])
+        y = jax.lax.reduce_window(
+            y, 0.0, jax.lax.add, (1, *p, 1), (1, *p, 1), "VALID"
+        ) / float(p[0] * p[1])
+    B, H, W, _ = y.shape
+
+    # Zero-border + channel pad -> (B, H+2, W+2, C_PAD)
+    y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, C_PAD - n_maps)))
+
+    if packed is None:
+        packed = pack_res_params(variables, config)
+    w_all, bn_scale, bn_offset, dw, db = packed
+    out = _res_stack_call(
+        y, w_all, bn_scale, bn_offset, dw, db,
+        n_layers=n_layers, H=H, W=W, B_blk=B_blk,
+        compute_dtype=compute_dtype, interpret=interpret,
+    )
+    return out[:, : config["n_labels"]]
