@@ -76,20 +76,30 @@ def main() -> None:
 
     def scan_marginal(short_fn, long_fn, *args):
         """Median marginal per-iteration time between two in-jit scan lengths.
-        In-jit scans of length >= ~20 time honestly on this tunnel (short
-        programs and scalar-only-varying chains do NOT — see memory notes)."""
-        jax.block_until_ready(short_fn(*args, jnp.float32(0.0)))
-        jax.block_until_ready(long_fn(*args, jnp.float32(0.0)))
+
+        Timing is taken as time-to-device_get of a scalar that data-depends
+        on the ENTIRE chain: the tunnel's completion acks (block_until_ready)
+        are unreliable at fine grain, but a device->host fetch cannot return
+        before the bytes exist, so device_get is the only honest fence here.
+        The marginal between two lengths cancels fixed dispatch + transfer
+        overhead. Negative marginals (timing noise) are discarded.
+        """
+        float(jax.device_get(short_fn(*args, jnp.float32(0.0))))
+        float(jax.device_get(long_fn(*args, jnp.float32(0.0))))
         ms = []
         for r in range(reps):
             seed = jnp.float32((r + 1) * 1e-6)
             t0 = time.perf_counter()
-            jax.block_until_ready(short_fn(*args, seed))
+            float(jax.device_get(short_fn(*args, seed)))
             ts = time.perf_counter() - t0
             t0 = time.perf_counter()
-            jax.block_until_ready(long_fn(*args, seed))
+            float(jax.device_get(long_fn(*args, seed)))
             tl = time.perf_counter() - t0
-            ms.append((tl - ts) / (scan_long - scan_short))
+            m = (tl - ts) / (scan_long - scan_short)
+            if m > 0:
+                ms.append(m)
+        if not ms:
+            raise RuntimeError("all marginal timings were non-positive; tunnel timing unusable")
         return float(np.median(ms))
 
     infer_t = scan_marginal(
