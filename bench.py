@@ -108,13 +108,19 @@ def main() -> None:
     infer_aps = batch / infer_t
 
     # ---- training: scan of full train steps (sample+augment+mfcc+fwd/bwd+sgd) ----
+    from honk_tpu.data import prepare_train_arrays
+
     n_clips = pool_n
-    audio_i16 = jnp.asarray(rng.integers(-3000, 3000, (n_clips, 16000), dtype=np.int16))
+    aug = AugmentConfig(n_silence=batch // 10)
+    audio_i16, noise = prepare_train_arrays(
+        rng.integers(-3000, 3000, (n_clips, 16000), dtype=np.int16),
+        (rng.standard_normal(16000 * 40) * 0.05).astype(np.float32),
+        aug,
+    )
     labels = jnp.asarray(rng.integers(2, 12, (n_clips,), dtype=np.int32))
-    noise = jnp.asarray((rng.standard_normal(16000 * 40) * 0.05).astype(np.float32))
     tx = make_optimizer()
     state0 = create_train_state(model, tx, jax.random.PRNGKey(0))
-    step = make_train_step(model, tx, batch, AugmentConfig(n_silence=batch // 10), donate=False)
+    step = make_train_step(model, tx, batch, aug, donate=False)
 
     def make_train_scan(length):
         @jax.jit

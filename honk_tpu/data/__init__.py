@@ -1,4 +1,12 @@
-from .augment import AugmentConfig, eval_batch, sample_train_batch, timeshift  # noqa: F401
+from .augment import (  # noqa: F401
+    AugmentConfig,
+    eval_batch,
+    make_noise_windows,
+    pad_pool,
+    prepare_train_arrays,
+    sample_train_batch,
+    timeshift,
+)
 from .dataset import (  # noqa: F401
     DEFAULT_WANTED_WORDS,
     LABEL_SILENCE,

@@ -43,49 +43,98 @@ def timeshift(audio: jax.Array, shift: jax.Array) -> jax.Array:
     return jnp.where(valid, gathered, 0.0)
 
 
-def _noise_slices(noise: jax.Array, offsets: jax.Array, n: int) -> jax.Array:
-    """Gather (B, n) slices of the 1-D noise buffer at the given offsets."""
-    return jax.vmap(lambda o: jax.lax.dynamic_slice(noise, (o,), (n,)))(offsets)
+def pad_pool(audio_i16: jax.Array, timeshift_samples: int = 1600) -> jax.Array:
+    """Zero-pad the packed corpus once: (N, S) -> (N, S + 2*ts) int16.
+
+    Done once at load time so that per-step clip selection AND time-shift
+    collapse into a single contiguous-slice gather (see sample_train_batch).
+    A per-element take_along_axis shift costs ~190 ms/step at batch 1024 on
+    a v5e; a (1, S)-slice gather from the padded pool costs ~2 ms.
+    """
+    return jnp.pad(audio_i16, ((0, 0), (timeshift_samples, timeshift_samples)))
+
+
+def make_noise_windows(
+    noise: jax.Array, n_samples: int = 16000, stride: int = 2000
+) -> jax.Array:
+    """Precompute overlapping background-noise windows: (M,) -> (R, n) float32.
+
+    The reference draws a random offset into each noise file per sample
+    (utils/train.py::SpeechDataset, noise snippet slicing); offset-granular
+    slicing on TPU is a strided gather, so we quantize offsets to `stride`
+    samples (default 125 ms) by materializing overlapping windows once.
+    Statistically equivalent for augmentation; turns the per-step noise
+    fetch into a fast row gather.
+    """
+    noise = jnp.asarray(noise, jnp.float32)
+    if noise.shape[0] < n_samples:
+        reps = -(-n_samples // noise.shape[0])
+        noise = jnp.tile(noise, reps)
+    n_off = max(1, (noise.shape[0] - n_samples) // stride + 1)
+    starts = (jnp.arange(n_off) * stride).clip(0, noise.shape[0] - n_samples)
+    return jax.vmap(lambda s: jax.lax.dynamic_slice(noise, (s,), (n_samples,)))(starts)
 
 
 @functools.partial(jax.jit, static_argnames=("batch_size", "cfg"))
 def sample_train_batch(
     key: jax.Array,
-    audio_i16: jax.Array,  # (N, 16000) int16, device-resident
+    audio_pad_i16: jax.Array,  # (N, S + 2*ts) int16, pre-padded (pad_pool), device-resident
     labels: jax.Array,  # (N,) int32
-    noise: jax.Array,  # (M,) float32
+    noise_windows: jax.Array,  # (R, S) float32 (make_noise_windows)
     batch_size: int,
     cfg: AugmentConfig,
 ) -> tuple[jax.Array, jax.Array]:
     """Draw and augment one training batch fully on device.
 
-    Returns (audio (B, 16000) float32 in [-1, 1], labels (B,) int32).
+    Returns (audio (B, S) float32 in [-1, 1], labels (B,) int32).
+
+    TPU-first layout: clip selection and the +-ts sample time-shift are ONE
+    gather of (1, S) contiguous slices from the pre-padded pool — shifting by
+    k is reading the padded row at offset ts - k. No per-element gather
+    anywhere on the hot path.
     """
-    n = audio_i16.shape[0]
-    n_samples = audio_i16.shape[1]
+    n = audio_pad_i16.shape[0]
+    ts = cfg.timeshift_samples
+    n_samples = audio_pad_i16.shape[1] - 2 * ts
     k_idx, k_shift, k_off, k_noise, k_scale = jax.random.split(key, 5)
 
     # Virtual-length sampling: idx >= n means a silence example.
     idx = jax.random.randint(k_idx, (batch_size,), 0, n + cfg.n_silence)
     is_silence = idx >= n
     safe_idx = jnp.where(is_silence, 0, idx)
-    audio = audio_i16[safe_idx].astype(jnp.float32) / 32768.0
+
+    # Fused select + time-shift: slice padded row at offset ts - shift.
+    shift = jax.random.randint(k_shift, (batch_size,), -ts, ts + 1)
+    start = ts - shift
+
+    def slice_one(i, s):
+        return jax.lax.dynamic_slice(audio_pad_i16, (i, s), (1, n_samples))[0]
+
+    audio = jax.vmap(slice_one)(safe_idx, start).astype(jnp.float32) / 32768.0
     audio = jnp.where(is_silence[:, None], 0.0, audio)
     lab = jnp.where(is_silence, 0, labels[safe_idx])
 
-    # Time-shift +-timeshift_samples with zero fill (train only).
-    shift = jax.random.randint(
-        k_shift, (batch_size,), -cfg.timeshift_samples, cfg.timeshift_samples + 1
-    )
-    audio = timeshift(audio, shift)
-
     # Background-noise mix: prob noise_prob, always for silence.
-    off = jax.random.randint(k_off, (batch_size,), 0, noise.shape[0] - n_samples)
-    nslice = _noise_slices(noise, off, n_samples)
+    row = jax.random.randint(k_off, (batch_size,), 0, noise_windows.shape[0])
+    nslice = noise_windows[row]
     add = (jax.random.uniform(k_noise, (batch_size,)) < cfg.noise_prob) | is_silence
     scale = jax.random.uniform(k_scale, (batch_size,)) * cfg.noise_scale
     audio = jnp.clip(audio + jnp.where(add, scale, 0.0)[:, None] * nslice, -1.0, 1.0)
     return audio, lab
+
+
+def prepare_train_arrays(
+    audio_i16, noise, cfg: AugmentConfig, noise_stride: int = 2000
+) -> tuple[jax.Array, jax.Array]:
+    """One-time load-side prep: (pool, 1-D noise) -> (padded pool, noise windows).
+
+    Returns device arrays ready for sample_train_batch's hot path.
+    """
+    n_samples = jnp.asarray(audio_i16).shape[1]
+    return (
+        pad_pool(jnp.asarray(audio_i16), cfg.timeshift_samples),
+        make_noise_windows(jnp.asarray(noise), n_samples, noise_stride),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("batch_size",))

@@ -86,11 +86,6 @@ def train(
     state = create_train_state(model, tx, rng)
     state = replicate(mesh, state)
 
-    # Device-resident packed corpus (replicated; gathers are local).
-    audio_i16 = replicate(mesh, jnp.asarray(dataset.train.audio))
-    labels_arr = replicate(mesh, jnp.asarray(dataset.train.labels))
-    noise = replicate(mesh, jnp.asarray(dataset.noise))
-
     n_train = len(dataset.train)
     n_silence = int(cfg.data.silence_prob * n_train)
     aug = AugmentConfig(
@@ -98,6 +93,16 @@ def train(
         timeshift_samples=cfg.data.timeshift_samples,
         n_silence=n_silence,
     )
+
+    # Device-resident packed corpus (replicated; gathers are local). The pool
+    # is pre-padded and the noise pre-windowed once so the per-step batch
+    # assembly is pure contiguous-slice gathers (data/augment.py).
+    from ..data import prepare_train_arrays
+
+    audio_pad, noise_win = prepare_train_arrays(dataset.train.audio, dataset.noise, aug)
+    audio_i16 = replicate(mesh, audio_pad)
+    labels_arr = replicate(mesh, jnp.asarray(dataset.train.labels))
+    noise = replicate(mesh, noise_win)
     train_step = make_train_step(
         model, tx, cfg.train.batch_size, aug, data_axis=cfg.mesh.data_axis
     )

@@ -33,7 +33,11 @@ def make_train_step(
 ):
     """Build the jit-ed train step.
 
-    step(state, key, audio_i16, labels, noise) -> (state, metrics)
+    step(state, key, audio_pad_i16, labels, noise_windows) -> (state, metrics)
+
+    ``audio_pad_i16`` / ``noise_windows`` are the load-time-prepared arrays
+    from ``data.prepare_train_arrays`` (padded pool + overlapping noise
+    windows) so batch assembly is contiguous-slice gathers only.
 
     With ``data_axis`` set (and an ambient mesh via ``jax.set_mesh``), the
     sampled batch is constrained to shard along that axis, making the

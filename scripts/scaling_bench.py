@@ -36,7 +36,7 @@ def main(sizes: list[int], per_device_batch: int = 128, force_cpu: bool | None =
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from honk_tpu.data import AugmentConfig
+    from honk_tpu.data import AugmentConfig, prepare_train_arrays
     from honk_tpu.models import find_config, find_model
     from honk_tpu.parallel import make_data_mesh, replicate
     from honk_tpu.train import create_train_state, make_optimizer, make_train_step
@@ -58,12 +58,12 @@ def main(sizes: list[int], per_device_batch: int = 128, force_cpu: bool | None =
         mesh = make_data_mesh(n, "data")
         batch = per_device_batch * n  # weak scaling: constant per-device work
         state = replicate(mesh, create_train_state(model, tx, jax.random.PRNGKey(0)))
-        audio = replicate(mesh, jnp.asarray(audio_np))
+        aug = AugmentConfig(n_silence=8)
+        audio_pad_np, noise_win_np = prepare_train_arrays(audio_np, noise_np, aug)
+        audio = replicate(mesh, audio_pad_np)
         labels = replicate(mesh, jnp.asarray(labels_np))
-        noise = replicate(mesh, jnp.asarray(noise_np))
-        step = make_train_step(
-            model, tx, batch, AugmentConfig(n_silence=8), donate=False, data_axis="data"
-        )
+        noise = replicate(mesh, noise_win_np)
+        step = make_train_step(model, tx, batch, aug, donate=False, data_axis="data")
 
         def scan_steps(L):
             @jax.jit

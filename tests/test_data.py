@@ -71,9 +71,8 @@ def test_timeshift_semantics():
 
 def test_sample_train_batch(dataset):
     cfg = D.AugmentConfig(n_silence=max(1, int(0.1 * len(dataset.train))))
-    audio = jnp.asarray(dataset.train.audio)
+    audio, noise = D.prepare_train_arrays(dataset.train.audio, dataset.noise, cfg)
     labels = jnp.asarray(dataset.train.labels)
-    noise = jnp.asarray(dataset.noise)
     key = jax.random.PRNGKey(0)
     batch, lab = D.sample_train_batch(key, audio, labels, noise, 64, cfg)
     assert batch.shape == (64, 16000) and lab.shape == (64,)

@@ -11,17 +11,23 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from honk_tpu.data import AugmentConfig
+from honk_tpu.data import AugmentConfig, prepare_train_arrays
 from honk_tpu.models import find_config, find_model
 from honk_tpu.parallel import make_data_mesh, replicate
 from honk_tpu.train import create_train_state, make_optimizer, make_train_step
 
 
+_AUG = AugmentConfig(n_silence=4)
+
+
 def _setup(n_clips=64):
     rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.integers(-3000, 3000, (n_clips, 16000), dtype=np.int16))
+    audio, noise = prepare_train_arrays(
+        rng.integers(-3000, 3000, (n_clips, 16000), dtype=np.int16),
+        (rng.standard_normal(16000 * 3) * 0.05).astype(np.float32),
+        _AUG,
+    )
     labels = jnp.asarray(rng.integers(2, 12, (n_clips,), dtype=np.int32))
-    noise = jnp.asarray((rng.standard_normal(16000 * 3) * 0.05).astype(np.float32))
     cfg = find_config("res8-narrow")
     model = find_model("res8-narrow")(config=cfg)
     tx = make_optimizer(lrs=(0.01,), boundaries=())
@@ -33,9 +39,7 @@ def _run(model, tx, audio, labels, noise, n_devices, data_axis, steps=2, batch=1
     state = create_train_state(model, tx, jax.random.PRNGKey(0))
     state = replicate(mesh, state)
     audio_r, labels_r, noise_r = replicate(mesh, (audio, labels, noise))
-    step = make_train_step(
-        model, tx, batch, AugmentConfig(n_silence=4), donate=False, data_axis=data_axis
-    )
+    step = make_train_step(model, tx, batch, _AUG, donate=False, data_axis=data_axis)
     key = jax.random.PRNGKey(7)
     losses = []
     with jax.set_mesh(mesh):
