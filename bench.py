@@ -44,8 +44,11 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "2"))
     model_name = os.environ.get("BENCH_MODEL", "res8")
 
+    import jax.numpy as _jnp
+
+    dtype = _jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
     cfg = find_config(model_name)
-    model = find_model(model_name)(config=cfg)
+    model = find_model(model_name)(config=cfg, dtype=dtype)
     rng = np.random.default_rng(0)
 
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 101, 40), jnp.float32), train=False)

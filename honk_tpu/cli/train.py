@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dev_every", type=int, default=t.dev_every)
     p.add_argument("--seed", type=int, default=t.seed)
     p.add_argument("--eval_batch_size", type=int, default=t.eval_batch_size)
+    p.add_argument(
+        "--compute_dtype", choices=["bfloat16", "float32"], default=t.compute_dtype,
+        help="activation dtype for training compute (float32 = strict parity mode)",
+    )
     p.add_argument("--input_file", default="", help="warm-start/eval checkpoint (orbax dir or honk .pt)")
     p.add_argument("--output_dir", default="ckpts/run", help="checkpoint directory")
     p.add_argument("--metrics_jsonl", default="", help="JSONL metrics sink path")
@@ -75,6 +79,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
             dev_every=args.dev_every,
             seed=args.seed,
             eval_batch_size=args.eval_batch_size,
+            compute_dtype=args.compute_dtype,
             input_file=args.input_file,
             output_file=args.output_dir,
         ),

@@ -54,6 +54,11 @@ class TrainConfig:
     eval_batch_size: int = 256
     input_file: str = ""  # warm-start checkpoint
     output_file: str = "model_best.ckpt"
+    # Activation compute dtype for train-time convs/dense ("bfloat16" runs the
+    # MXU at full rate and halves activation HBM traffic, ~1.6x step speed;
+    # params, BN statistics, loss and the final logits dense stay f32).
+    # Use "float32" for strict reference-numerics parity runs.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass

@@ -39,6 +39,8 @@ class SpeechModel(nn.Module):
     # None = backend-fast matmul passes (bf16 on MXU) for training speed;
     # "highest" = full-f32, required for torch-checkpoint parity eval.
     precision: Any = None
+    # Computation dtype for convs/dense (activations). Params stay f32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -63,6 +65,7 @@ class SpeechModel(nn.Module):
             kernel_init=kernel_init,
             bias_init=bias_init,
             precision=self.precision,
+            dtype=self.dtype,
             name="conv1",
         )(x)
         x = nn.relu(x)
@@ -80,6 +83,7 @@ class SpeechModel(nn.Module):
                 kernel_init=kernel_init,
                 bias_init=bias_init,
                 precision=self.precision,
+                dtype=self.dtype,
                 name="conv2",
             )(x)
             x = nn.relu(x)
@@ -95,16 +99,16 @@ class SpeechModel(nn.Module):
             1.0 / 3, "fan_in", "uniform"
         )
         if "lin_size" in cfg:
-            x = nn.Dense(cfg["lin_size"], kernel_init=dense_init, bias_init=bias_init, precision=self.precision, name="lin")(x)
+            x = nn.Dense(cfg["lin_size"], kernel_init=dense_init, bias_init=bias_init, precision=self.precision, dtype=self.dtype, name="lin")(x)
         if "dnn1_size" in cfg:
-            x = nn.Dense(cfg["dnn1_size"], kernel_init=dense_init, bias_init=bias_init, precision=self.precision, name="dnn1")(x)
+            x = nn.Dense(cfg["dnn1_size"], kernel_init=dense_init, bias_init=bias_init, precision=self.precision, dtype=self.dtype, name="dnn1")(x)
             if not tf_variant:
                 x = nn.relu(x)
             x = nn.Dropout(rate=dropout, deterministic=not train)(x)
         if "dnn2_size" in cfg:
-            x = nn.Dense(cfg["dnn2_size"], kernel_init=dense_init, bias_init=bias_init, precision=self.precision, name="dnn2")(x)
+            x = nn.Dense(cfg["dnn2_size"], kernel_init=dense_init, bias_init=bias_init, precision=self.precision, dtype=self.dtype, name="dnn2")(x)
             x = nn.Dropout(rate=dropout, deterministic=not train)(x)
-        return nn.Dense(cfg["n_labels"], kernel_init=dense_init, bias_init=bias_init, precision=self.precision, name="output")(x)
+        return nn.Dense(cfg["n_labels"], kernel_init=dense_init, bias_init=bias_init, precision=self.precision, name="output")(x.astype(jnp.float32))
 
     @staticmethod
     def feature_shape(cfg: dict[str, Any]) -> tuple[int, int, int]:

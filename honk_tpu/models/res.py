@@ -33,6 +33,9 @@ class SpeechResModel(nn.Module):
     # None = backend-fast matmul passes (bf16 on MXU) for training speed;
     # "highest" = full-f32, required for torch-checkpoint parity eval.
     precision: Any = None
+    # Computation dtype for convs/dense (activations). Params stay f32.
+    # bf16 halves activation HBM traffic; BN always reduces in f32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -47,7 +50,8 @@ class SpeechResModel(nn.Module):
         y = nn.relu(
             nn.Conv(
                 n_maps, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                kernel_init=kernel_init, precision=self.precision, name="conv0",
+                kernel_init=kernel_init, precision=self.precision,
+                dtype=self.dtype, name="conv0",
             )(x)
         )
         if "res_pool" in cfg:
@@ -61,7 +65,8 @@ class SpeechResModel(nn.Module):
                 nn.Conv(
                     n_maps, (3, 3), padding=[(d, d), (d, d)],
                     kernel_dilation=(d, d), use_bias=False,
-                    kernel_init=kernel_init, precision=self.precision, name=f"conv{i}",
+                    kernel_init=kernel_init, precision=self.precision,
+                    dtype=self.dtype, name=f"conv{i}",
                 )(x)
             )
             if i % 2 == 0:
@@ -78,5 +83,5 @@ class SpeechResModel(nn.Module):
                 name=f"bn{i}",
             )(x)
 
-        x = jnp.mean(x, axis=(1, 2))  # global average over time x freq
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global average over time x freq
         return nn.Dense(cfg["n_labels"], kernel_init=kernel_init, precision=self.precision, name="output")(x)

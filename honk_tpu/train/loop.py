@@ -71,7 +71,9 @@ def train(
 
     model_cfg = find_config(cfg.train.model)
     model_cfg["n_labels"] = dataset.n_labels
-    model = find_model(cfg.train.model)(config=model_cfg)
+    model = find_model(cfg.train.model)(
+        config=model_cfg, dtype=jnp.dtype(cfg.train.compute_dtype)
+    )
 
     tx = make_optimizer(
         lrs=tuple(cfg.train.lr),
