@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class AugmentConfig(NamedTuple):
@@ -124,13 +125,31 @@ def sample_train_batch(
 
 
 def prepare_train_arrays(
-    audio_i16, noise, cfg: AugmentConfig, noise_stride: int = 2000
+    audio_i16, noise, cfg: AugmentConfig, noise_stride: int = 2000, layout: str = "auto"
 ) -> tuple[jax.Array, jax.Array]:
-    """One-time load-side prep: (pool, 1-D noise) -> (padded pool, noise windows).
+    """One-time load-side prep of the device-resident corpus arrays.
 
-    Returns device arrays ready for sample_train_batch's hot path.
+    layout="pallas": sub-row packing for the fused assembly kernel
+    (ops/assemble_kernel.py, ~0.24 ms/batch on TPU). layout="xla":
+    padded pool + noise windows for sample_train_batch (runs anywhere,
+    exact per-sample shifts). "auto" picks pallas iff the default
+    backend is a real TPU and the clips are 1 s.
     """
-    n_samples = jnp.asarray(audio_i16).shape[1]
+    audio_i16 = np.asarray(audio_i16)
+    n_samples = audio_i16.shape[1]
+    if layout == "auto":
+        layout = (
+            "pallas"
+            if jax.default_backend() == "tpu" and n_samples == 16000
+            else "xla"
+        )
+    if layout == "pallas":
+        from ..ops.assemble_kernel import pack_noise_subrows, pack_pool_subrows
+
+        return (
+            pack_pool_subrows(audio_i16, cfg.timeshift_samples),
+            pack_noise_subrows(noise),
+        )
     return (
         pad_pool(jnp.asarray(audio_i16), cfg.timeshift_samples),
         make_noise_windows(jnp.asarray(noise), n_samples, noise_stride),

@@ -48,9 +48,17 @@ def make_train_step(
 
     def train_step(state: TrainState, key: jax.Array, audio_i16, labels_arr, noise):
         k_sample, k_dropout = jax.random.split(jax.random.fold_in(key, state.step))
-        audio, labels = sample_train_batch(
-            k_sample, audio_i16, labels_arr, noise, batch_size, aug_cfg
-        )
+        if audio_i16.shape[-1] == 128:  # sub-row packing -> fused Pallas assembly
+            from ..ops.assemble_kernel import sample_train_batch_pallas
+
+            audio, labels = sample_train_batch_pallas(
+                k_sample, audio_i16, labels_arr, noise, batch_size, aug_cfg,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            audio, labels = sample_train_batch(
+                k_sample, audio_i16, labels_arr, noise, batch_size, aug_cfg
+            )
         if data_axis is not None:
             audio = jax.lax.with_sharding_constraint(audio, P(data_axis))
             labels = jax.lax.with_sharding_constraint(labels, P(data_axis))

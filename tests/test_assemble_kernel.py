@@ -1,0 +1,97 @@
+"""Fused Pallas batch-assembly kernel tests (interpret mode on CPU).
+
+Checks the kernel against an exact numpy reconstruction of its semantics
+(sub-row-quantized shift, gain/silence, noise mix, clip), and the packing
+geometry across timeshift settings.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from honk_tpu.data.augment import AugmentConfig
+from honk_tpu.ops import assemble_kernel as K
+
+
+def _numpy_reference(key, raw, labels_np, noise_flat, batch, cfg):
+    """Reproduce sample_train_batch_pallas exactly (same jax.random draws)."""
+    pad_sub, row_subs, q_max = K._geometry(cfg.timeshift_samples)
+    n = raw.shape[0]
+    k_idx, k_shift, k_off, k_noise, k_scale = jax.random.split(key, 5)
+    idx = np.asarray(jax.random.randint(k_idx, (batch,), 0, n + cfg.n_silence))
+    sil = idx >= n
+    safe = np.where(sil, 0, idx)
+    lab = np.where(sil, 0, labels_np[safe])
+    q = np.asarray(jax.random.randint(k_shift, (batch,), -q_max, q_max + 1, jnp.int32))
+
+    padded = np.zeros((n, row_subs * 128), np.float32)
+    padded[:, pad_sub * 128 : pad_sub * 128 + 16000] = raw.astype(np.float32)
+    start = (pad_sub - q) * 128
+    audio = np.stack([padded[safe[b], start[b] : start[b] + 16000] for b in range(batch)])
+    audio = audio / 32768.0
+    audio[sil] = 0.0
+
+    m = noise_flat.shape[0] // 128
+    n_noise8 = (m - K.CP) // 8 + 1
+    nsub8 = np.asarray(jax.random.randint(k_off, (batch,), 0, n_noise8, jnp.int32))
+    add = np.asarray(jax.random.uniform(k_noise, (batch,)) < cfg.noise_prob) | sil
+    scale = np.asarray(jax.random.uniform(k_scale, (batch,))) * cfg.noise_scale
+    nslice = np.stack(
+        [noise_flat[ns * 8 * 128 : ns * 8 * 128 + 16000] for ns in nsub8]
+    )
+    out = audio + np.where(add, scale, 0.0)[:, None] * nslice
+    return np.clip(out, -1, 1), lab
+
+
+@pytest.mark.parametrize("timeshift", [1600, 640])
+def test_pallas_assembly_matches_reference(timeshift):
+    rng = np.random.default_rng(0)
+    n, batch = 12, 16
+    raw = rng.integers(-20000, 20000, (n, 16000), dtype=np.int16)
+    labels_np = rng.integers(2, 12, (n,), dtype=np.int32)
+    noise_flat = (rng.standard_normal(16000 * 4) * 0.05).astype(np.float32)
+
+    cfg = AugmentConfig(timeshift_samples=timeshift, n_silence=3)
+    pool = K.pack_pool_subrows(raw, timeshift)
+    noise = K.pack_noise_subrows(noise_flat)
+    key = jax.random.PRNGKey(7)
+    got, lab = K.sample_train_batch_pallas(
+        key, pool, jnp.asarray(labels_np), noise, batch, cfg, interpret=True
+    )
+    # pack_noise_subrows may not tile here (buffer is long enough), so the
+    # reference can use noise_flat directly.
+    want, want_lab = _numpy_reference(key, raw, labels_np, noise_flat, batch, cfg)
+    np.testing.assert_array_equal(np.asarray(lab), want_lab)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_geometry_alignment():
+    for ts in (0, 100, 640, 1600, 3200):
+        pad_sub, row_subs, q_max = K._geometry(ts)
+        assert row_subs % 8 == 0
+        assert pad_sub * 128 >= min(ts, 128)  # pad covers at least one sub-row
+        # worst-case DMA end stays inside the padded row
+        s_max = pad_sub + q_max
+        assert (s_max // 8) * 8 + K.CP <= row_subs
+        # quantized shift never exceeds the requested shift
+        assert q_max * 128 <= max(ts, 128)
+
+
+def test_silence_is_noise_only():
+    rng = np.random.default_rng(1)
+    n, batch = 4, 16
+    raw = rng.integers(-20000, 20000, (n, 16000), dtype=np.int16)
+    labels_np = np.full((n,), 5, np.int32)
+    noise_flat = (rng.standard_normal(16000 * 4) * 0.05).astype(np.float32)
+    # All-silence sampling: huge n_silence makes idx >= n almost surely.
+    cfg = AugmentConfig(n_silence=100000, noise_prob=0.0)
+    pool = K.pack_pool_subrows(raw)
+    noise = K.pack_noise_subrows(noise_flat)
+    got, lab = K.sample_train_batch_pallas(
+        jax.random.PRNGKey(0), pool, jnp.asarray(labels_np), noise, batch, cfg, interpret=True
+    )
+    got, lab = np.asarray(got), np.asarray(lab)
+    assert (lab == 0).all()
+    # silence = pure scaled noise: bounded by noise_scale * |noise| max
+    assert np.abs(got).max() <= cfg.noise_scale * np.abs(noise_flat).max() + 1e-6
