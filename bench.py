@@ -65,7 +65,7 @@ def main() -> None:
                 i, acc = carry
                 start = (i * batch) % (pool_n - batch)
                 audio = jax.lax.dynamic_slice(pool, (start, 0), (batch, 16000)) + acc * 1e-12
-                feats = compute_mfccs(audio)
+                feats = compute_mfccs(audio, fast=dtype == jnp.bfloat16)
                 v = {"params": params}
                 if batch_stats:
                     v["batch_stats"] = batch_stats

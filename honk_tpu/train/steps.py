@@ -62,7 +62,10 @@ def make_train_step(
         if data_axis is not None:
             audio = jax.lax.with_sharding_constraint(audio, P(data_axis))
             labels = jax.lax.with_sharding_constraint(labels, P(data_axis))
-        feats = compute_mfccs(audio)
+        # Training-grade frontend precision rides the same knob as the
+        # model's compute dtype (strict f32 parity mode keeps HIGH passes).
+        fast_frontend = getattr(model, "dtype", None) == jnp.bfloat16
+        feats = compute_mfccs(audio, fast=fast_frontend)
 
         has_bn = bool(state.batch_stats)
 
@@ -117,9 +120,11 @@ def make_eval_step(model):
 def make_forward(model):
     """Jit-ed raw-audio -> logits forward (serving / streaming / bench)."""
 
+    fast_frontend = getattr(model, "dtype", None) == jnp.bfloat16
+
     @jax.jit
     def forward(params, batch_stats, audio):
-        feats = compute_mfccs(audio)
+        feats = compute_mfccs(audio, fast=fast_frontend)
         variables: dict[str, Any] = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
