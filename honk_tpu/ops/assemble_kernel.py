@@ -150,7 +150,9 @@ def _pick_blk(batch_size: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("batch_size", "cfg", "n_clips", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("batch_size", "cfg", "n_clips", "interpret", "data_axis")
+)
 def sample_train_batch_pallas(
     key: jax.Array,
     pool_subrows: jax.Array,  # (N * ROW_SUBS, 128) int16 (pack_pool_subrows)
@@ -160,12 +162,18 @@ def sample_train_batch_pallas(
     cfg: AugmentConfig,
     n_clips: int | None = None,
     interpret: bool = False,
+    data_axis: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Pallas twin of data/augment.py::sample_train_batch.
 
     Same sampling semantics (virtual-length silence slots, noise prob,
     scaled noise mix, clip), with the time-shift quantized to 128-sample
     sub-rows (see module docstring). Returns ((B, 16000) f32, (B,) i32).
+
+    With ``data_axis`` (under an ambient mesh), the tiny per-sample scalar
+    draws happen GLOBALLY in XLA (so results are bitwise-identical across
+    mesh sizes) and only the DMA kernel runs per-shard via shard_map — the
+    corpus is replicated, each device assembles its own batch shard.
     """
     pad_sub, row_subs, q_max = _geometry(cfg.timeshift_samples)
     n = n_clips if n_clips is not None else labels.shape[0]
@@ -194,9 +202,26 @@ def sample_train_batch_pallas(
         jnp.where(add, 1.0, 0.0) * jax.random.uniform(k_scale, (batch_size,)) * cfg.noise_scale
     ).astype(jnp.float32)
 
-    out = _assemble_call(
-        base8.astype(jnp.int32), fine.astype(jnp.int32), gain,
-        nsub8, nscale, pool_subrows, noise_subrows,
-        blk=_pick_blk(batch_size), interpret=interpret,
-    )
+    scalars = (base8.astype(jnp.int32), fine.astype(jnp.int32), gain, nsub8, nscale)
+    if data_axis is None:
+        out = _assemble_call(
+            *scalars, pool_subrows, noise_subrows,
+            blk=_pick_blk(batch_size), interpret=interpret,
+        )
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        def shard_fn(b8, fi, g, n8, ns, pool, noise):
+            return _assemble_call(
+                b8, fi, g, n8, ns, pool, noise,
+                blk=_pick_blk(b8.shape[0]), interpret=interpret,
+            )
+
+        out = jax.shard_map(
+            shard_fn,
+            in_specs=(P(data_axis),) * 5 + (P(None, None), P(None, None)),
+            out_specs=P(data_axis),
+            # pallas_call's out_shape carries no varying-mesh-axes info.
+            check_vma=False,
+        )(*scalars, pool_subrows, noise_subrows)
     return out.reshape(batch_size, N_SAMPLES), lab

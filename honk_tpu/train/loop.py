@@ -101,13 +101,9 @@ def train(
     # assembly is pure contiguous-slice gathers (data/augment.py).
     from ..data import prepare_train_arrays
 
-    # Pallas assembly is single-device for now (the pallas_call carries no
-    # partitioning rule; a shard_map wrap is the multi-chip path). Multi-
-    # device meshes use the XLA gather assembly, which pjit shards freely.
-    layout = "auto" if mesh.size == 1 else "xla"
-    audio_pad, noise_win = prepare_train_arrays(
-        dataset.train.audio, dataset.noise, aug, layout=layout
-    )
+    # Pallas assembly under a mesh: scalar draws are global (bitwise-equal
+    # across mesh sizes), the DMA kernel runs per-shard via shard_map.
+    audio_pad, noise_win = prepare_train_arrays(dataset.train.audio, dataset.noise, aug)
     audio_i16 = replicate(mesh, audio_pad)
     labels_arr = replicate(mesh, jnp.asarray(dataset.train.labels))
     noise = replicate(mesh, noise_win)

@@ -54,6 +54,7 @@ def make_train_step(
             audio, labels = sample_train_batch_pallas(
                 k_sample, audio_i16, labels_arr, noise, batch_size, aug_cfg,
                 interpret=jax.default_backend() != "tpu",
+                data_axis=data_axis,
             )
         else:
             audio, labels = sample_train_batch(

@@ -95,3 +95,31 @@ def test_silence_is_noise_only():
     assert (lab == 0).all()
     # silence = pure scaled noise: bounded by noise_scale * |noise| max
     assert np.abs(got).max() <= cfg.noise_scale * np.abs(noise_flat).max() + 1e-6
+
+
+def test_pallas_assembly_sharded_matches_single():
+    """shard_map'd assembly must be bitwise-equal to the single-device call
+    (global scalar draws + per-shard DMA)."""
+    from honk_tpu.parallel import make_data_mesh
+
+    rng = np.random.default_rng(2)
+    n, batch = 8, 16
+    raw = rng.integers(-20000, 20000, (n, 16000), dtype=np.int16)
+    labels = jnp.asarray(rng.integers(2, 12, (n,), dtype=np.int32))
+    noise_flat = (rng.standard_normal(16000 * 4) * 0.05).astype(np.float32)
+    cfg = AugmentConfig(n_silence=2)
+    pool = K.pack_pool_subrows(raw)
+    noise = K.pack_noise_subrows(noise_flat)
+    key = jax.random.PRNGKey(3)
+
+    single, lab1 = K.sample_train_batch_pallas(
+        key, pool, labels, noise, batch, cfg, interpret=True
+    )
+    mesh = make_data_mesh(8, "data")
+    with jax.set_mesh(mesh):
+        sharded, lab8 = K.sample_train_batch_pallas(
+            key, pool, labels, noise, batch, cfg, interpret=True, data_axis="data"
+        )
+        sharded = jax.device_get(sharded)
+    np.testing.assert_array_equal(np.asarray(lab1), np.asarray(lab8))
+    np.testing.assert_array_equal(np.asarray(single), sharded)
