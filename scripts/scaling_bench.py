@@ -25,15 +25,25 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(sizes: list[int], per_device_batch: int = 128, force_cpu: bool | None = None):
+def main(sizes: list[int], per_device_batch: int | None = None, force_cpu: bool | None = None):
     if force_cpu is None:
         force_cpu = os.environ.get("SCALING_CPU", "0") == "1"
+    if per_device_batch is None:
+        # CPU mesh validates the mechanism only; keep per-device work small.
+        per_device_batch = int(os.environ.get("SCALING_BATCH", "16" if force_cpu else "128"))
+    scan_short = int(os.environ.get("SCALING_SCAN_SHORT", "5" if force_cpu else "20"))
+    scan_long = int(os.environ.get("SCALING_SCAN_LONG", "20" if force_cpu else "80"))
     if force_cpu:
         os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     import jax
 
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: the same step graphs recompile per mesh size
+    # otherwise (tens of seconds each on XLA:CPU).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
 
     from honk_tpu.data import AugmentConfig, prepare_train_arrays
@@ -81,7 +91,7 @@ def main(sizes: list[int], per_device_batch: int = 128, force_cpu: bool | None =
             return f
 
         with jax.set_mesh(mesh):
-            s20, s80 = scan_steps(20), scan_steps(80)
+            s20, s80 = scan_steps(scan_short), scan_steps(scan_long)
             jax.block_until_ready(s20(state, jnp.float32(0.0)))
             jax.block_until_ready(s80(state, jnp.float32(0.0)))
             ms = []
@@ -92,22 +102,26 @@ def main(sizes: list[int], per_device_batch: int = 128, force_cpu: bool | None =
                 t0 = time.perf_counter()
                 jax.block_until_ready(s80(state, jnp.float32(r + 1.0)))
                 t2 = time.perf_counter() - t0
-                ms.append((t2 - t1) / 60)
+                ms.append((t2 - t1) / (scan_long - scan_short))
         step_s = float(np.median(ms))
         aps = batch / step_s
         if base is None:
             base = step_s
-        print(
-            json.dumps(
-                {
-                    "n_devices": n,
-                    "global_batch": batch,
-                    "step_ms": round(step_s * 1e3, 3),
-                    "audio_s_per_s": round(aps, 1),
-                    "scaling_efficiency_vs_1": round(base / step_s, 4),
-                }
-            )
-        )
+        row = {
+            "n_devices": n,
+            "global_batch": batch,
+            "step_ms": round(step_s * 1e3, 3),
+            "audio_s_per_s": round(aps, 1),
+            "scaling_efficiency_vs_1": round(base / step_s, 4),
+        }
+        if force_cpu:
+            # Virtual devices share the host's cores: weak-scaling step time
+            # grows ~linearly with N by construction, so efficiency-vs-1 is
+            # NOT meaningful here — this mode only validates that the sharded
+            # program runs and partitions. Real efficiency needs real chips.
+            row["note"] = "virtual CPU mesh (shared cores): mechanism check only"
+            row["serialized_throughput_frac"] = round(base * n / step_s, 4)
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":
