@@ -24,6 +24,13 @@ Kernel design (pallas_guide.md):
 
 The surrounding ``res_forward_fused`` runs conv0+pool in XLA (one big
 MXU conv on the 101x40 map), pads, invokes the kernel, and returns logits.
+
+STATUS: numerically validated (interpret-mode tests vs the XLA model,
+tests/test_res_kernel.py), but NOT the production serving path on this
+toolchain — Mosaic compilation of the fully-unrolled 6x9-dot body takes
+>9 minutes through the remote-compile tunnel (jax 0.9 / libtpu 0.0.34),
+vs ~3.6 ms/batch for the already-fast XLA forward. Revisit if Mosaic
+compile time improves or with a fori_loop-over-layers body.
 """
 
 from __future__ import annotations

@@ -158,19 +158,28 @@ def train(
             },
         )
 
+    import time as _time
+
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, cfg.train.n_epochs):
             losses, accs = [], []
+            t0 = _time.perf_counter()
             for _ in range(steps_per_epoch):
                 state, m = train_step(state, key, audio_i16, labels_arr, noise)
                 losses.append(m["loss"])
                 accs.append(m["acc"])
+            # Fence on the last step's metrics before reading the clock
+            # (device_get, not block_until_ready: see bench.py on why).
+            loss_ep = float(np.mean([float(x) for x in losses]))
+            dt = _time.perf_counter() - t0
+            audio_s = steps_per_epoch * cfg.train.batch_size  # 1 s utterances
             logger.log(
                 "train_epoch",
                 epoch=epoch,
                 step=int(state.step),
-                loss=float(np.mean([float(x) for x in losses])),
+                loss=loss_ep,
                 acc=float(np.mean([float(x) for x in accs])),
+                audio_s_per_s=round(audio_s / max(dt, 1e-9) / max(1, jax.device_count()), 1),
             )
             if (epoch + 1) % cfg.train.dev_every == 0:
                 dev_acc = evaluate_split(
