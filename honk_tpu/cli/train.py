@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--compute_dtype", choices=["bfloat16", "float32"], default=t.compute_dtype,
         help="activation dtype for training compute (float32 = strict parity mode)",
     )
+    p.add_argument(
+        "--steps_per_call", type=int, default=t.steps_per_call,
+        help="train steps folded into one compiled dispatch (1 disables)",
+    )
     p.add_argument("--input_file", default="", help="warm-start/eval checkpoint (orbax dir or honk .pt)")
     p.add_argument("--output_dir", default="ckpts/run", help="checkpoint directory")
     p.add_argument("--metrics_jsonl", default="", help="JSONL metrics sink path")
@@ -80,6 +84,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
             seed=args.seed,
             eval_batch_size=args.eval_batch_size,
             compute_dtype=args.compute_dtype,
+            steps_per_call=args.steps_per_call,
             input_file=args.input_file,
             output_file=args.output_dir,
         ),

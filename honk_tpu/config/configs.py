@@ -59,6 +59,9 @@ class TrainConfig:
     # params, BN statistics, loss and the final logits dense stay f32).
     # Use "float32" for strict reference-numerics parity runs.
     compute_dtype: str = "bfloat16"
+    # Train steps folded into one compiled dispatch (lax.scan). Per-step host
+    # round-trips otherwise dominate these small models. 1 disables.
+    steps_per_call: int = 16
 
 
 @dataclasses.dataclass

@@ -23,7 +23,7 @@ from ..metrics import MetricsLogger
 from ..models import find_config, find_model
 from ..parallel import make_data_mesh, replicate, replicated
 from .state import TrainState, create_train_state, make_optimizer
-from .steps import make_eval_step, make_train_step
+from .steps import make_eval_step, make_train_scan, make_train_step
 
 
 def evaluate_split(eval_step, params, batch_stats, split: PackedSplit, batch_size: int = 256) -> float:
@@ -113,6 +113,16 @@ def train(
     eval_step = make_eval_step(model)
 
     steps_per_epoch = max(1, math.ceil((n_train + n_silence) / cfg.train.batch_size))
+    # One dispatch per chunk of steps (see make_train_scan): per-step host
+    # round-trips otherwise dominate these small models.
+    chunk = min(steps_per_epoch, max(1, cfg.train.steps_per_call))
+    train_scan = (
+        make_train_scan(
+            model, tx, cfg.train.batch_size, aug, chunk, data_axis=cfg.mesh.data_axis
+        )
+        if chunk > 1
+        else None
+    )
     key = jax.random.PRNGKey(cfg.train.seed + 1)
 
     best_dev = -1.0
@@ -164,7 +174,13 @@ def train(
         for epoch in range(start_epoch, cfg.train.n_epochs):
             losses, accs = [], []
             t0 = _time.perf_counter()
-            for _ in range(steps_per_epoch):
+            done = 0
+            while train_scan is not None and steps_per_epoch - done >= chunk:
+                state, m = train_scan(state, key, audio_i16, labels_arr, noise)
+                losses.extend([m["loss"]] * chunk)
+                accs.extend([m["acc"]] * chunk)
+                done += chunk
+            for _ in range(steps_per_epoch - done):
                 state, m = train_step(state, key, audio_i16, labels_arr, noise)
                 losses.append(m["loss"])
                 accs.append(m["acc"])

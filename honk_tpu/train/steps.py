@@ -30,6 +30,7 @@ def make_train_step(
     aug_cfg: AugmentConfig,
     donate: bool = True,
     data_axis: str | None = None,
+    jit: bool = True,
 ):
     """Build the jit-ed train step.
 
@@ -96,7 +97,46 @@ def make_train_step(
         )
         return new_state, {"loss": loss, "acc": acc}
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_scan(
+    model,
+    tx: optax.GradientTransformation,
+    batch_size: int,
+    aug_cfg: AugmentConfig,
+    n_steps: int,
+    donate: bool = True,
+    data_axis: str | None = None,
+):
+    """Build a jit-ed N-step training scan: ONE dispatch per N steps.
+
+    Per-step host dispatch costs dominate small models (the step itself is
+    ~8 ms at batch 1024 on v5e; a host round-trip per step can cost more
+    than the step). lax.scan-ing the step inside one compiled program
+    removes that entirely — the reference's per-batch Python loop has no
+    analogue of this. PRNG semantics are IDENTICAL to calling the single
+    step N times: the step folds the epoch key with state.step, which
+    advances inside the scan.
+
+    scan_fn(state, key, audio, labels, noise) -> (state, {loss, acc}),
+    metrics averaged over the N steps.
+    """
+    step = make_train_step(
+        model, tx, batch_size, aug_cfg, donate=False, data_axis=data_axis, jit=False
+    )
+
+    def scan_fn(state: TrainState, key: jax.Array, audio, labels, noise):
+        def body(st, _):
+            st, m = step(st, key, audio, labels, noise)
+            return st, (m["loss"], m["acc"])
+
+        state, (losses, accs) = jax.lax.scan(body, state, None, length=n_steps)
+        return state, {"loss": jnp.mean(losses), "acc": jnp.mean(accs)}
+
+    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model):

@@ -70,3 +70,44 @@ def test_res8_narrow_learns(small_root):
     assert np.isfinite(result["test_acc"])
     # Loss must decrease substantially over training.
     assert losses[-1] < losses[0] * 0.8, f"no learning: {losses}"
+
+
+def test_scan_steps_match_single_steps():
+    """make_train_scan(N) must reproduce N make_train_step calls (same PRNG
+    stream: the step folds the epoch key with state.step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from honk_tpu.data import AugmentConfig, prepare_train_arrays
+    from honk_tpu.models import find_config, find_model
+    from honk_tpu.train import create_train_state, make_optimizer
+    from honk_tpu.train.steps import make_train_scan, make_train_step
+
+    rng = np.random.default_rng(0)
+    aug = AugmentConfig(n_silence=2)
+    audio, noise = prepare_train_arrays(
+        rng.integers(-3000, 3000, (16, 16000), dtype=np.int16),
+        (rng.standard_normal(16000 * 2) * 0.05).astype(np.float32),
+        aug,
+    )
+    labels = jnp.asarray(rng.integers(2, 12, (16,), dtype=np.int32))
+    model = find_model("res8-narrow")(config=find_config("res8-narrow"))
+    tx = make_optimizer(lrs=(0.01,), boundaries=())
+    key = jax.random.PRNGKey(5)
+
+    step = make_train_step(model, tx, 8, aug, donate=False)
+    s1 = create_train_state(model, tx, jax.random.PRNGKey(0))
+    step_losses = []
+    for _ in range(3):
+        s1, m1 = step(s1, key, audio, labels, noise)
+        step_losses.append(float(m1["loss"]))
+
+    scan = make_train_scan(model, tx, 8, aug, 3, donate=False)
+    s2 = create_train_state(model, tx, jax.random.PRNGKey(0))
+    s2, m2 = scan(s2, key, audio, labels, noise)
+
+    assert int(s1.step) == int(s2.step) == 3
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # scan reports the mean over its N steps
+    np.testing.assert_allclose(float(np.mean(step_losses)), float(m2["loss"]), rtol=1e-5)
