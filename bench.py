@@ -156,7 +156,7 @@ def main() -> None:
 
     value = float(np.sqrt(infer_aps * train_aps))  # geometric mean of the two modes
     result = {
-        "metric": "audio_seconds_per_s_per_chip_res8_train_infer_geomean",
+        "metric": f"audio_seconds_per_s_per_chip_{model_name.replace('-', '_')}_train_infer_geomean",
         "value": round(value, 1),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / 50000.0, 4),
