@@ -31,6 +31,14 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # Persistent compile cache: bench compiles 4 scan programs (~20-40s each
+    # cold over the tunnel); caching makes reruns start timing immediately
+    # and keeps total runtime well inside driver timeouts.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     import jax.numpy as jnp
 
     from honk_tpu.data import AugmentConfig
@@ -38,10 +46,10 @@ def main() -> None:
     from honk_tpu.models import find_config, find_model
     from honk_tpu.train import create_train_state, make_optimizer, make_train_step
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    scan_short = int(os.environ.get("BENCH_SCAN_SHORT", "20"))
-    scan_long = int(os.environ.get("BENCH_SCAN_LONG", "80"))
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    scan_short = int(os.environ.get("BENCH_SCAN_SHORT", "8"))
+    scan_long = int(os.environ.get("BENCH_SCAN_LONG", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     model_name = os.environ.get("BENCH_MODEL", "res8")
 
     import jax.numpy as _jnp
