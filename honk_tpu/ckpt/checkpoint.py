@@ -29,9 +29,21 @@ class Checkpointer:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
-    def save(self, name: str, tree: Any, force: bool = True) -> None:
+    def save(self, name: str, tree: Any, force: bool = True, wait: bool = False) -> None:
+        """Write a checkpoint ASYNCHRONOUSLY (orbax background thread).
+
+        Training does not stall on the write (SURVEY.md §5.3 plans async
+        saves); reads and directory scans below fence on in-flight writes,
+        so a save is never observed half-finished. Pass ``wait=True`` (or
+        call ``wait_until_finished``) to block.
+        """
         path = self._path(name)
         self._ckptr.save(path, _to_numpy(tree), force=force)
+        if wait:
+            self._ckptr.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
+        """Block until all in-flight async saves are durable."""
         self._ckptr.wait_until_finished()
 
     def save_step(self, step: int, tree: Any) -> None:
@@ -41,12 +53,14 @@ class Checkpointer:
         self.save("best", tree)
 
     def restore(self, name: str, template: Any | None = None) -> Any:
+        self._ckptr.wait_until_finished()
         path = self._path(name)
         if template is not None:
             return self._ckptr.restore(path, target=_to_numpy(template))
         return self._ckptr.restore(path)
 
     def latest_step(self) -> int | None:
+        self._ckptr.wait_until_finished()
         steps = [
             int(d.split("_")[1])
             for d in os.listdir(self.directory)
@@ -61,6 +75,7 @@ class Checkpointer:
         return step, self.restore(f"step_{step:08d}", template)
 
     def has(self, name: str) -> bool:
+        self._ckptr.wait_until_finished()
         return os.path.isdir(self._path(name))
 
 

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_file", default="", help="warm-start/eval checkpoint (orbax dir or honk .pt)")
     p.add_argument("--output_dir", default="ckpts/run", help="checkpoint directory")
     p.add_argument("--metrics_jsonl", default="", help="JSONL metrics sink path")
+    p.add_argument(
+        "--profile-dir", default="",
+        help="capture a jax.profiler trace of the first train dispatch here",
+    )
     p.add_argument("--synthetic", action="store_true", help="generate a synthetic dataset into data_dir first (no-network dev)")
     # multi-host
     p.add_argument("--coordinator", default=None)
@@ -115,13 +119,19 @@ def main(argv: list[str] | None = None) -> int:
         from ..ckpt import Checkpointer
         from ..train import train
 
-        result = train(cfg, logger=logger, checkpoint_dir=args.output_dir)
+        result = train(
+            cfg,
+            logger=logger,
+            checkpoint_dir=args.output_dir,
+            profile_dir=args.profile_dir or None,
+        )
         ck = Checkpointer(args.output_dir)
         ck.save_best(result["best"])
         ck.save_step(int(result["state"].step), {
             "params": result["state"].params,
             "batch_stats": result["state"].batch_stats,
         })
+        ck.wait_until_finished()  # saves are async; fence before process exit
         return 0
 
     # eval path

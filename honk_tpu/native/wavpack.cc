@@ -165,15 +165,11 @@ int wavpack_load_files(const char** paths, int n_files, int target_len,
   return ok.load();
 }
 
-// Decode a single (possibly long) wav into a caller-resizable pattern:
-// first call with out=nullptr returns the mono sample count; second call
-// with a buffer of that size fills it. Used for background-noise files.
+// Decode a single (possibly long) wav into the caller's max_len buffer;
+// returns the decoded mono sample count (<= max_len) or -1 on failure.
+// Used for background-noise files, which can be minutes long.
 int wavpack_decode_one(const char* path, int16_t* out, int max_len,
                        int* sample_rate_out) {
-  if (!out) {
-    // Probe length cheaply: decode into a throwaway buffer of max_len.
-    return -1;  // probing unsupported; caller passes a max_len buffer
-  }
   return decode_wav(path, max_len, out, sample_rate_out);
 }
 

@@ -48,6 +48,7 @@ def train(
     checkpoint_dir: str | None = None,
     save_every_epochs: int = 5,
     resume: bool = True,
+    profile_dir: str | None = None,
 ) -> dict[str, Any]:
     """Full training run. Returns {'state', 'best_dev_acc', 'test_acc', 'model'}.
 
@@ -56,6 +57,9 @@ def train(
     ``save_every_epochs`` epochs, and resume-from-latest on restart —
     capability the reference lacks (SURVEY.md §5.3-5.4; a crash there
     loses the run except the last best-dev model).
+
+    With ``profile_dir``: captures a jax.profiler trace (TensorBoard/
+    Perfetto) of the first dispatch of the first epoch (SURVEY.md §5.1).
     """
     logger = logger or MetricsLogger()
     if dataset is None:
@@ -170,18 +174,32 @@ def train(
 
     import time as _time
 
+    def _dispatch(fn, *args):
+        # First dispatch optionally runs under a jax.profiler trace
+        # (blocked to completion so device activity lands in the capture).
+        nonlocal profile_dir
+        if profile_dir is not None:
+            from ..metrics import trace_to
+
+            with trace_to(profile_dir):
+                out = fn(*args)
+                jax.block_until_ready(out[1]["loss"])
+            profile_dir = None
+            return out
+        return fn(*args)
+
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, cfg.train.n_epochs):
             losses, accs = [], []
             t0 = _time.perf_counter()
             done = 0
             while train_scan is not None and steps_per_epoch - done >= chunk:
-                state, m = train_scan(state, key, audio_i16, labels_arr, noise)
+                state, m = _dispatch(train_scan, state, key, audio_i16, labels_arr, noise)
                 losses.extend([m["loss"]] * chunk)
                 accs.extend([m["acc"]] * chunk)
                 done += chunk
             for _ in range(steps_per_epoch - done):
-                state, m = train_step(state, key, audio_i16, labels_arr, noise)
+                state, m = _dispatch(train_step, state, key, audio_i16, labels_arr, noise)
                 losses.append(m["loss"])
                 accs.append(m["acc"])
             # Fence on the last step's metrics before reading the clock
@@ -212,6 +230,8 @@ def train(
             if (epoch + 1) % save_every_epochs == 0:
                 _save(epoch)
 
+    if ckpt is not None:
+        ckpt.wait_until_finished()  # saves are async; fence before returning
     test_acc = evaluate_split(
         eval_step, best["params"], best["batch_stats"], dataset.test, cfg.train.eval_batch_size
     )

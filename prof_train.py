@@ -43,44 +43,56 @@ fixed_feats = compute_mfccs(fixed_audio, fast=True)
 fixed_labels = jnp.asarray(rng.integers(0, 12, (B,), dtype=np.int32))
 
 
-def fwdbwd_only(st, key):
+def _fwdbwd(st, key, feats):
+    # Shared loss/update body; guards on batch_stats like make_train_step so a
+    # BN-free model name still profiles correctly.
     k_dropout = jax.random.fold_in(key, st.step)
+    has_bn = bool(st.batch_stats)
 
     def loss_fn(params):
-        variables = {"params": params, "batch_stats": st.batch_stats}
-        logits, mut = model.apply(variables, fixed_feats, train=True,
-                                  mutable=["batch_stats"], rngs={"dropout": k_dropout})
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = st.batch_stats
+            logits, mut = model.apply(variables, feats, train=True,
+                                      mutable=["batch_stats"], rngs={"dropout": k_dropout})
+            new_stats = mut["batch_stats"]
+        else:
+            logits = model.apply(variables, feats, train=True, rngs={"dropout": k_dropout})
+            new_stats = st.batch_stats
         loss = optax.softmax_cross_entropy_with_integer_labels(logits, fixed_labels).mean()
-        return loss, mut["batch_stats"]
+        return loss, new_stats
 
     (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
     updates, opt_state = tx.update(grads, st.opt_state, st.params)
     params = optax.apply_updates(st.params, updates)
     return TrainState(step=st.step + 1, params=params, batch_stats=new_stats,
                       opt_state=opt_state), loss
+
+
+def fwdbwd_only(st, key):
+    return _fwdbwd(st, key, fixed_feats)
 
 
 def step_noaug(st, key):
     # frontend + fwd/bwd on fixed audio
-    k_dropout = jax.random.fold_in(key, st.step)
     feats = compute_mfccs(fixed_audio + jnp.float32(st.step) * 1e-12, fast=True)
-
-    def loss_fn(params):
-        variables = {"params": params, "batch_stats": st.batch_stats}
-        logits, mut = model.apply(variables, feats, train=True,
-                                  mutable=["batch_stats"], rngs={"dropout": k_dropout})
-        loss = optax.softmax_cross_entropy_with_integer_labels(logits, fixed_labels).mean()
-        return loss, mut["batch_stats"]
-
-    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
-    updates, opt_state = tx.update(grads, st.opt_state, st.params)
-    params = optax.apply_updates(st.params, updates)
-    return TrainState(step=st.step + 1, params=params, batch_stats=new_stats,
-                      opt_state=opt_state), loss
+    return _fwdbwd(st, key, feats)
 
 
 def aug_only_fold(key, i):
-    audio, labels = sample_train_batch(jax.random.fold_in(key, i), audio_i16, labels_arr, noise, B, aug)
+    # Dispatch on the packed layout exactly like make_train_step, so the 'aug'
+    # ablation times the same sampling path the 'full' step uses (on TPU,
+    # prepare_train_arrays returns the Pallas sub-row packing).
+    k = jax.random.fold_in(key, i)
+    if audio_i16.shape[-1] == 128:
+        from honk_tpu.ops.assemble_kernel import sample_train_batch_pallas
+
+        audio, labels = sample_train_batch_pallas(
+            k, audio_i16, labels_arr, noise, B, aug,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        audio, labels = sample_train_batch(k, audio_i16, labels_arr, noise, B, aug)
     return jnp.sum(audio) * 1e-9 + jnp.sum(labels) * 1e-9
 
 
@@ -132,7 +144,7 @@ if kind == "state":
 else:
     fs, fl = make_scan_scalar(fn, Ls), make_scan_scalar(fn, Ll)
     def run(f):
-        float(jax.device_get(fs(jax.random.PRNGKey(1)))) if f is fs else float(jax.device_get(fl(jax.random.PRNGKey(1))))
+        float(jax.device_get(f(jax.random.PRNGKey(1))))
 
 t0 = time.perf_counter(); run(fs); print(f"compile short {time.perf_counter()-t0:.1f}s", flush=True)
 t0 = time.perf_counter(); run(fl); print(f"compile long {time.perf_counter()-t0:.1f}s", flush=True)
