@@ -17,28 +17,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ExperimentConfig
-from ..data import AugmentConfig, eval_batch, load_speech_commands
+from ..data import AugmentConfig, load_speech_commands
 from ..data.dataset import PackedDataset, PackedSplit
 from ..metrics import MetricsLogger
 from ..models import find_config, find_model
 from ..parallel import make_data_mesh, replicate, replicated
 from .state import TrainState, create_train_state, make_optimizer
-from .steps import make_eval_step, make_train_scan, make_train_step
+from .steps import make_eval_step, make_eval_sweep, make_train_scan, make_train_step
 
 
-def evaluate_split(eval_step, params, batch_stats, split: PackedSplit, batch_size: int = 256) -> float:
-    """Deterministic accuracy over a packed split."""
+def evaluate_split(eval_sweep, params, batch_stats, split: PackedSplit) -> float:
+    """Deterministic accuracy over a packed split: ONE device dispatch.
+
+    ``eval_sweep`` is from ``make_eval_sweep``; under an ambient mesh the
+    sweep runs data-parallel with on-device correct/total accumulation.
+    """
     audio = jnp.asarray(split.audio)
     labels = jnp.asarray(split.labels)
-    n = len(split)
-    correct = 0
-    total = 0
-    for start in range(0, n, batch_size):
-        a, l, valid = eval_batch(audio, labels, start, batch_size)
-        c, t = eval_step(params, batch_stats, a, l, valid)
-        correct += int(c)
-        total += int(t)
-    return correct / max(total, 1)
+    correct, total = eval_sweep(params, batch_stats, audio, labels)
+    return int(correct) / max(int(total), 1)
 
 
 def train(
@@ -114,7 +111,9 @@ def train(
     train_step = make_train_step(
         model, tx, cfg.train.batch_size, aug, data_axis=cfg.mesh.data_axis
     )
-    eval_step = make_eval_step(model)
+    eval_sweep = make_eval_sweep(
+        model, cfg.train.eval_batch_size, data_axis=cfg.mesh.data_axis
+    )
 
     steps_per_epoch = max(1, math.ceil((n_train + n_silence) / cfg.train.batch_size))
     # One dispatch per chunk of steps (see make_train_scan): per-step host
@@ -217,7 +216,7 @@ def train(
             )
             if (epoch + 1) % cfg.train.dev_every == 0:
                 dev_acc = evaluate_split(
-                    eval_step, state.params, state.batch_stats, dataset.dev, cfg.train.eval_batch_size
+                    eval_sweep, state.params, state.batch_stats, dataset.dev
                 )
                 logger.log("dev_eval", epoch=epoch, dev_acc=dev_acc)
                 if dev_acc > best_dev:
@@ -232,9 +231,10 @@ def train(
 
     if ckpt is not None:
         ckpt.wait_until_finished()  # saves are async; fence before returning
-    test_acc = evaluate_split(
-        eval_step, best["params"], best["batch_stats"], dataset.test, cfg.train.eval_batch_size
-    )
+    with jax.set_mesh(mesh):
+        test_acc = evaluate_split(
+            eval_sweep, best["params"], best["batch_stats"], dataset.test
+        )
     # Reference prints exactly this phrase (utils/train.py::evaluate).
     logger.log("final", test_acc=test_acc)
     print(f"final test accuracy: {test_acc}")
@@ -255,9 +255,13 @@ def evaluate(cfg: ExperimentConfig, variables: dict[str, Any], dataset: PackedDa
     model_cfg = find_config(cfg.train.model)
     model_cfg["n_labels"] = dataset.n_labels
     model = find_model(cfg.train.model)(config=model_cfg, precision="highest")
-    eval_step = make_eval_step(model)
-    acc = evaluate_split(
-        eval_step, variables["params"], variables.get("batch_stats", {}), dataset.test, cfg.train.eval_batch_size
+    mesh = make_data_mesh(cfg.mesh.n_devices, cfg.mesh.data_axis)
+    eval_sweep = make_eval_sweep(
+        model, cfg.train.eval_batch_size, data_axis=cfg.mesh.data_axis
     )
+    with jax.set_mesh(mesh):
+        acc = evaluate_split(
+            eval_sweep, variables["params"], variables.get("batch_stats", {}), dataset.test
+        )
     print(f"final test accuracy: {acc}")
     return acc

@@ -139,6 +139,54 @@ def make_train_scan(
     return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_eval_sweep(model, batch_size: int, data_axis: str | None = None):
+    """Build ONE compiled program that evaluates a whole packed split.
+
+    sweep(params, batch_stats, audio_i16, labels) -> (correct, total)
+    device scalars. Scans ceil(n/B) fixed-size batches with device-side
+    accumulation — no per-batch host round trip (the reference's eval
+    DataLoader loop crosses the host per batch, SURVEY.md §3.2). With
+    ``data_axis`` set and an ambient mesh, every batch shards across the
+    mesh and XLA inserts the cross-device reduction for the accumulated
+    correct/total counts (SURVEY.md §5.8: eval metric reduction via psum).
+    Compiles once per split length.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def sweep(params, batch_stats, audio_i16, labels):
+        n = audio_i16.shape[0]
+        n_batches = -(-n // batch_size)
+        variables: dict[str, Any] = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        def body(carry, b):
+            correct, total = carry
+            idx = b * batch_size + jnp.arange(batch_size)
+            valid = idx < n
+            safe = jnp.where(valid, idx, 0)
+            audio = audio_i16[safe].astype(jnp.float32) / 32768.0
+            lab = labels[safe]
+            if data_axis is not None:
+                audio = jax.lax.with_sharding_constraint(audio, P(data_axis))
+                lab = jax.lax.with_sharding_constraint(lab, P(data_axis))
+                valid = jax.lax.with_sharding_constraint(valid, P(data_axis))
+            feats = compute_mfccs(audio)
+            logits = model.apply(variables, feats, train=False)
+            hit = (jnp.argmax(logits, axis=-1) == lab) & valid
+            return (
+                correct + jnp.sum(hit.astype(jnp.int32)),
+                total + jnp.sum(valid.astype(jnp.int32)),
+            ), None
+
+        (correct, total), _ = jax.lax.scan(
+            body, (jnp.int32(0), jnp.int32(0)), jnp.arange(n_batches)
+        )
+        return correct, total
+
+    return jax.jit(sweep)
+
+
 def make_eval_step(model):
     """Build the jit-ed eval step over raw audio batches.
 

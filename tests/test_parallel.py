@@ -83,6 +83,39 @@ def test_batch_is_actually_sharded():
     assert len(devices) == 8
 
 
+def test_dp_eval_matches_single_device():
+    """The production eval sweep (one compiled program, on-device
+    correct/total accumulation) must give identical counts on a 1-device
+    and an 8-device mesh — argmax counting is exact, so equality is
+    bitwise, not tolerance-based."""
+    from honk_tpu.train import make_eval_sweep
+
+    rng = np.random.default_rng(3)
+    n = 100  # deliberately not a multiple of batch or mesh size
+    audio = jnp.asarray(rng.integers(-3000, 3000, (n, 16000), dtype=np.int16))
+    labels = jnp.asarray(rng.integers(0, 12, (n,), dtype=np.int32))
+    cfg = find_config("res8-narrow")
+    model = find_model("res8-narrow")(config=cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 101, 40), jnp.float32), train=False
+    )
+
+    results = {}
+    for n_dev, axis in ((1, None), (8, "data")):
+        mesh = make_data_mesh(n_dev, "data")
+        sweep = make_eval_sweep(model, batch_size=32, data_axis=axis)
+        with jax.set_mesh(mesh):
+            c, t = sweep(
+                replicate(mesh, variables["params"]),
+                replicate(mesh, variables.get("batch_stats", {})),
+                replicate(mesh, audio),
+                replicate(mesh, labels),
+            )
+        results[n_dev] = (int(c), int(t))
+    assert results[1][1] == n  # tail mask: every real row counted once
+    assert results[1] == results[8], results
+
+
 def test_eval_metric_reduction_psum():
     """Eval correctness is a pure reduction; check an explicit shard_map
     psum path agrees with the direct computation."""
