@@ -5,4 +5,4 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
-from .runtime import initialize_distributed, is_primary, local_batch_slice  # noqa: F401
+from .runtime import initialize_distributed, is_primary  # noqa: F401

@@ -31,13 +31,11 @@ def initialize_distributed(
 
 
 def is_primary() -> bool:
-    """True on the host that should print/log/checkpoint (host 0)."""
+    """True on the host that should print/log/checkpoint (host 0).
+
+    Note there is deliberately no host-side per-process batch slicing
+    helper: the packed corpus is device-resident and replicated, and batch
+    sharding happens INSIDE the compiled step (with_sharding_constraint on
+    the sampled batch), so each process never hand-slices host data.
+    """
     return jax.process_index() == 0
-
-
-def local_batch_slice(global_batch: int) -> tuple[int, int]:
-    """(start, size) of this process's shard of a global batch."""
-    n = jax.process_count()
-    i = jax.process_index()
-    per = global_batch // n
-    return i * per, per

@@ -98,6 +98,25 @@ class LabelService:
             for e in events
         ]
 
+    def make_batch_streamer(
+        self,
+        n_streams: int,
+        stream_cfg: StreamConfig | None = None,
+        chunk_samples: int = 3200,
+        data_axis: str | None = None,
+    ):
+        """N concurrent online streams scored by one jit-ed step.
+
+        Batched multi-stream serving (BASELINE.json:11): feed
+        ``(n_streams, chunk_samples)`` chunks per call; with ``data_axis``
+        and an ambient mesh the streams shard across chips.
+        """
+        from ..stream import BatchStreamer
+
+        return BatchStreamer(
+            self.model, self.variables, n_streams, stream_cfg, chunk_samples, data_axis
+        )
+
 
 class TrainingService:
     """Few-shot personalization: fine-tune on user positives + contrastives.

@@ -1,4 +1,5 @@
 from .streamer import (  # noqa: F401
+    BatchStreamer,
     Detection,
     Streamer,
     StreamState,

@@ -204,3 +204,57 @@ class Streamer:
         """Feed one chunk; returns (state, smoothed posterior (n_labels,))."""
         assert chunk.shape == (self.chunk,)
         return self._step(state, jnp.asarray(chunk, jnp.float32))
+
+
+class BatchStreamer:
+    """N concurrent online streams advanced by ONE jit-ed step.
+
+    Batched multi-stream serving (BASELINE.json:11, SURVEY.md §5.7): the
+    per-stream state gains a leading stream axis (a vmap of the single
+    Streamer step), so N independent audio streams are scored by one
+    compiled program — the classifier sees a (N, 101, 40) batch, which is
+    the MXU-friendly shape. With ``data_axis`` set and an ambient mesh the
+    stream axis shards across chips, scaling serving over a pod slice.
+
+    Semantics are EXACTLY N independent Streamers (tested): streams do not
+    interact — BN is frozen at inference and the model is per-example.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        n_streams: int,
+        cfg: StreamConfig | None = None,
+        chunk_samples: int = 3200,
+        data_axis: str | None = None,
+    ):
+        self._single = Streamer(model, variables, cfg, chunk_samples)
+        self.cfg = self._single.cfg
+        self.n_streams = n_streams
+        self.chunk = chunk_samples
+        self.n_labels = self._single.n_labels
+        vstep = jax.vmap(self._single._step_impl)
+
+        def step(state: StreamState, chunks: jax.Array):
+            if data_axis is not None:
+                from jax.sharding import PartitionSpec as P
+
+                constrain = lambda x: jax.lax.with_sharding_constraint(x, P(data_axis))
+                state = jax.tree.map(constrain, state)
+                chunks = constrain(chunks)
+            return vstep(state, chunks)
+
+        # Donate the state: serving holds exactly one live state per call.
+        self._step = jax.jit(step, donate_argnums=(0,))
+
+    def reset(self) -> StreamState:
+        single = self._single.reset()
+        return jax.tree.map(
+            lambda x: jnp.zeros((self.n_streams,) + x.shape, x.dtype), single
+        )
+
+    def process(self, state: StreamState, chunks: np.ndarray) -> tuple[StreamState, np.ndarray]:
+        """Feed one chunk per stream; returns (state, smoothed (N, n_labels))."""
+        assert chunks.shape == (self.n_streams, self.chunk), chunks.shape
+        return self._step(state, jnp.asarray(chunks, jnp.float32))

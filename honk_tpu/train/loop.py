@@ -235,9 +235,11 @@ def train(
         test_acc = evaluate_split(
             eval_sweep, best["params"], best["batch_stats"], dataset.test
         )
-    # Reference prints exactly this phrase (utils/train.py::evaluate).
+    # Reference prints exactly this phrase (utils/train.py::evaluate);
+    # host-0 only under a multi-process runtime.
     logger.log("final", test_acc=test_acc)
-    print(f"final test accuracy: {test_acc}")
+    if jax.process_index() == 0:
+        print(f"final test accuracy: {test_acc}")
     return {
         "state": state,
         "best": best,

@@ -94,3 +94,52 @@ def test_online_matches_offline_after_warmup(model_and_vars):
             agree += int(smoothed_off[w].argmax() == on[c].argmax())
     assert total >= 5
     assert agree / total >= 0.6, f"online/offline argmax agreement {agree}/{total}"
+
+
+def test_batch_streamer_matches_independent_streamers(model_and_vars):
+    """N batched streams must reproduce N independent Streamers exactly:
+    streams cannot interact (frozen BN, per-example model)."""
+    from honk_tpu.stream import BatchStreamer
+
+    model, variables = model_and_vars
+    scfg = StreamConfig(smoothing_window=3)
+    n, chunk, steps = 3, 3200, 5
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((n, steps * chunk)) * 0.1).astype(np.float32)
+
+    singles = [Streamer(model, variables, scfg, chunk) for _ in range(n)]
+    states = [s.reset() for s in singles]
+    ref = np.zeros((steps, n, 12), np.float32)
+    for t in range(steps):
+        for i in range(n):
+            states[i], post = singles[i].process(states[i], audio[i, t * chunk : (t + 1) * chunk])
+            ref[t, i] = np.asarray(post)
+
+    bs = BatchStreamer(model, variables, n, scfg, chunk)
+    state = bs.reset()
+    for t in range(steps):
+        state, post = bs.process(state, audio[:, t * chunk : (t + 1) * chunk])
+        np.testing.assert_allclose(np.asarray(post), ref[t], atol=1e-5)
+
+
+def test_batch_streamer_shards_across_mesh(model_and_vars):
+    """With data_axis set, the stream axis of the state/posteriors must be
+    distributed over all 8 devices of the mesh."""
+    from honk_tpu.parallel import make_data_mesh, replicate
+    from honk_tpu.stream import BatchStreamer
+
+    model, variables = model_and_vars
+    mesh = make_data_mesh(8, "data")
+    bs = BatchStreamer(
+        model, replicate(mesh, variables), 8, StreamConfig(), 3200, data_axis="data"
+    )
+    rng = np.random.default_rng(6)
+    chunks = (rng.standard_normal((8, 3200)) * 0.1).astype(np.float32)
+    with jax.set_mesh(mesh):
+        state = bs.reset()
+        state, post = bs.process(state, chunks)
+        jax.block_until_ready(post)
+    assert post.shape == (8, 12)
+    assert np.isfinite(np.asarray(post)).all()
+    devices = {s.device for s in state.feat_ring.addressable_shards}
+    assert len(devices) == 8, f"stream state on {len(devices)} devices"
