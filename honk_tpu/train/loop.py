@@ -117,7 +117,9 @@ def train(
 
     steps_per_epoch = max(1, math.ceil((n_train + n_silence) / cfg.train.batch_size))
     # One dispatch per chunk of steps (see make_train_scan): per-step host
-    # round-trips otherwise dominate these small models.
+    # round-trips otherwise dominate these small models. The epoch tail
+    # (steps_per_epoch % chunk) gets its own compiled scan so no epoch ever
+    # falls back to per-step dispatches.
     chunk = min(steps_per_epoch, max(1, cfg.train.steps_per_call))
     train_scan = (
         make_train_scan(
@@ -126,7 +128,36 @@ def train(
         if chunk > 1
         else None
     )
+    tail = steps_per_epoch % chunk if train_scan is not None else 0
+    tail_scan = (
+        make_train_scan(
+            model, tx, cfg.train.batch_size, aug, tail, data_axis=cfg.mesh.data_axis
+        )
+        if tail > 1
+        else None
+    )
     key = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    # Device-resident eval splits: transferred ONCE (a per-eval host->device
+    # copy of the dev split costs more than the eval itself over a tunnel).
+    dev_audio = replicate(mesh, np.asarray(dataset.dev.audio))
+    dev_labels = replicate(mesh, np.asarray(dataset.dev.labels))
+    test_audio = replicate(mesh, np.asarray(dataset.test.audio))
+    test_labels = replicate(mesh, np.asarray(dataset.test.labels))
+
+    # Device-side best-dev retention: the comparison AND the param snapshot
+    # happen on device (masked select), so improving epochs never stall the
+    # host loop on a param fetch; the best model is fetched once at run end.
+    @jax.jit
+    def _update_best(best_dev_d, best_vars_d, correct, total, params, stats):
+        dev_acc = correct.astype(jnp.float32) / jnp.maximum(total, 1).astype(jnp.float32)
+        better = dev_acc > best_dev_d
+        new_vars = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old),
+            {"params": params, "batch_stats": stats},
+            best_vars_d,
+        )
+        return jnp.where(better, dev_acc, best_dev_d), new_vars
 
     best_dev = -1.0
     # Host copies from the start: train_step donates state buffers, so any
@@ -157,6 +188,9 @@ def train(
                 key = jnp.asarray(payload["key"])
                 logger.log("resume", epoch=start_epoch, step=int(state.step), best_dev=best_dev)
 
+    best_dev_d = replicate(mesh, np.float32(best_dev))
+    best_vars_d = replicate(mesh, best)
+
     def _save(epoch: int) -> None:
         if ckpt is None:
             return
@@ -166,7 +200,7 @@ def train(
                 "state": jax.device_get(state),
                 "epoch": epoch,
                 "best_dev": best_dev,
-                "best": jax.device_get(best),
+                "best": jax.device_get(best_vars_d),
                 "key": jax.device_get(key),
             },
         )
@@ -189,52 +223,75 @@ def train(
 
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, cfg.train.n_epochs):
-            losses, accs = [], []
+            # Per-epoch metrics accumulate ON DEVICE (weighted by steps per
+            # dispatch) and are fetched as two scalars at epoch end — per-item
+            # float() fetches over a tunnel would otherwise dominate the step
+            # compute for these small models.
+            loss_sum = jnp.float32(0.0)
+            acc_sum = jnp.float32(0.0)
             t0 = _time.perf_counter()
             done = 0
             while train_scan is not None and steps_per_epoch - done >= chunk:
                 state, m = _dispatch(train_scan, state, key, audio_i16, labels_arr, noise)
-                losses.extend([m["loss"]] * chunk)
-                accs.extend([m["acc"]] * chunk)
+                loss_sum = loss_sum + m["loss"] * chunk
+                acc_sum = acc_sum + m["acc"] * chunk
                 done += chunk
+            if tail_scan is not None and steps_per_epoch - done == tail:
+                state, m = _dispatch(tail_scan, state, key, audio_i16, labels_arr, noise)
+                loss_sum = loss_sum + m["loss"] * tail
+                acc_sum = acc_sum + m["acc"] * tail
+                done += tail
             for _ in range(steps_per_epoch - done):
                 state, m = _dispatch(train_step, state, key, audio_i16, labels_arr, noise)
-                losses.append(m["loss"])
-                accs.append(m["acc"])
-            # Fence on the last step's metrics before reading the clock
-            # (device_get, not block_until_ready: see bench.py on why).
-            loss_ep = float(np.mean([float(x) for x in losses]))
+                loss_sum = loss_sum + m["loss"]
+                acc_sum = acc_sum + m["acc"]
+            # Dev eval is dispatched BEFORE the metrics fetch so that ONE
+            # device->host round trip per epoch fences everything (round
+            # trips over a tunnel rival the step compute for these models).
+            # Best-dev retention happens on device in _update_best.
+            do_dev = (epoch + 1) % cfg.train.dev_every == 0
+            if do_dev:
+                correct, total = eval_sweep(
+                    state.params, state.batch_stats, dev_audio, dev_labels
+                )
+                best_dev_d, best_vars_d = _update_best(
+                    best_dev_d, best_vars_d, correct, total,
+                    state.params, state.batch_stats,
+                )
+                loss_v, acc_v, c_v, t_v = jax.device_get((loss_sum, acc_sum, correct, total))
+            else:
+                # Fence on the accumulated metrics before reading the clock
+                # (device_get of chain-dependent scalars, not
+                # block_until_ready: see bench.py on why).
+                loss_v, acc_v = jax.device_get((loss_sum, acc_sum))
             dt = _time.perf_counter() - t0
             audio_s = steps_per_epoch * cfg.train.batch_size  # 1 s utterances
             logger.log(
                 "train_epoch",
                 epoch=epoch,
                 step=int(state.step),
-                loss=loss_ep,
-                acc=float(np.mean([float(x) for x in accs])),
+                loss=float(loss_v) / steps_per_epoch,
+                acc=float(acc_v) / steps_per_epoch,
                 audio_s_per_s=round(audio_s / max(dt, 1e-9) / max(1, jax.device_count()), 1),
             )
-            if (epoch + 1) % cfg.train.dev_every == 0:
-                dev_acc = evaluate_split(
-                    eval_sweep, state.params, state.batch_stats, dataset.dev
-                )
+            if do_dev:
+                # f32 on both sides so host and device best-dev bookkeeping
+                # can never disagree on a comparison.
+                dev_acc = float(np.float32(int(c_v)) / np.float32(max(int(t_v), 1)))
                 logger.log("dev_eval", epoch=epoch, dev_acc=dev_acc)
-                if dev_acc > best_dev:
-                    best_dev = dev_acc
-                    # Host copies: the live state's buffers get donated into
-                    # the next train_step, so references would be deleted.
-                    best = jax.device_get(
-                        {"params": state.params, "batch_stats": state.batch_stats}
-                    )
+                best_dev = max(best_dev, dev_acc)
             if (epoch + 1) % save_every_epochs == 0:
                 _save(epoch)
+
+        best = jax.device_get(best_vars_d)
 
     if ckpt is not None:
         ckpt.wait_until_finished()  # saves are async; fence before returning
     with jax.set_mesh(mesh):
-        test_acc = evaluate_split(
-            eval_sweep, best["params"], best["batch_stats"], dataset.test
+        correct, total = eval_sweep(
+            best["params"], best["batch_stats"], test_audio, test_labels
         )
+        test_acc = int(correct) / max(int(total), 1)
     # Reference prints exactly this phrase (utils/train.py::evaluate);
     # host-0 only under a multi-process runtime.
     logger.log("final", test_acc=test_acc)
