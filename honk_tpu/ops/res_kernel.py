@@ -21,6 +21,15 @@ Kernel design (pallas_guide.md):
   rate; float32 is available for strict-parity serving.
 - res15's dilation-16 convs need 16-pixel halos (VMEM-prohibitive at
   101x40); it stays on the XLA path. Scope: res8/res8-narrow/res26[-narrow].
+  The ruling VMEM math for res15 (no pooling, H=101 W=40, dilations
+  1,1,1,2,2,2,4,4,4,8,8,8,16): a max-halo zero border of 16 makes
+  xbuf (B,133,72,64) = 2.45 MB/sample f32, plus the residual carry
+  (B,101,40,64) = 1.03 MB/sample, 1.9 MB of weights and ~1.5 MB/sample of
+  dot operands/accumulators -> only B_blk=2 fits under ~16 MB VMEM, and a
+  (2*101*40, 64)x(64,64) dot runs the 128-wide MXU at <=25% utilization
+  with 45->64 channel padding already wasting 2x FLOPs. The fused kernel
+  would be compute-bound at a ~4x FLOP handicap vs XLA's implicit-GEMM
+  conv; not worth it.
 
 The surrounding ``res_forward_fused`` runs conv0+pool in XLA (one big
 MXU conv on the 101x40 map), pads, invokes the kernel, and returns logits.
@@ -49,7 +58,14 @@ LABEL_PAD = 128
 
 
 def _make_kernel(n_layers: int, H: int, W: int, B_blk: int, compute_dtype):
-    """Builds the megakernel body for a fixed geometry."""
+    """Builds the megakernel body for a fixed geometry.
+
+    The layer loop is a lax.fori_loop (layer weights indexed dynamically
+    from VMEM), so Mosaic compiles the 9-dot conv body ONCE instead of
+    n_layers times — the fully-unrolled variant took >9 min of Mosaic
+    compile for res8's 54 dots; the loop body compiles in seconds and is
+    what makes res26 (24 layers) compilable at all.
+    """
 
     def kernel(x_ref, w_ref, s_ref, o_ref, dw_ref, db_ref, out_ref, xbuf, old_ref):
         # xbuf: (B, H+2, W+2, C) zero-bordered activations (scratch)
@@ -57,7 +73,7 @@ def _make_kernel(n_layers: int, H: int, W: int, B_blk: int, compute_dtype):
         xbuf[:] = x_ref[:]
         old_ref[:] = x_ref[:, 1 : H + 1, 1 : W + 1, :]
 
-        for i in range(n_layers):
+        def layer(i, _):
             acc = jnp.zeros((B_blk * H * W, C_PAD), jnp.float32)
             for dy in range(3):
                 for dx in range(3):
@@ -66,11 +82,19 @@ def _make_kernel(n_layers: int, H: int, W: int, B_blk: int, compute_dtype):
                     w = w_ref[i, dy, dx].astype(compute_dtype)
                     acc += jnp.dot(a, w, preferred_element_type=jnp.float32)
             y = jnp.maximum(acc, 0.0).reshape(B_blk, H, W, C_PAD)
-            if (i + 1) % 2 == 0:
-                y = y + old_ref[:]
+            # Residual add on even 1-based layers (reference semantics:
+            # old = y is the post-add, pre-BN activation).
+            is_res = (i + 1) % 2 == 0
+            y = y + jnp.where(is_res, 1.0, 0.0) * old_ref[:]
+
+            @pl.when(is_res)
+            def _():
                 old_ref[:] = y
-            y = y * s_ref[i] + o_ref[i]
-            xbuf[:, 1 : H + 1, 1 : W + 1, :] = y
+
+            xbuf[:, 1 : H + 1, 1 : W + 1, :] = y * s_ref[i] + o_ref[i]
+            return 0
+
+        jax.lax.fori_loop(0, n_layers, layer, 0)
 
         feats = jnp.mean(
             xbuf[:, 1 : H + 1, 1 : W + 1, :].reshape(B_blk, H * W, C_PAD), axis=1

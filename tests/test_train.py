@@ -111,3 +111,28 @@ def test_scan_steps_match_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     # scan reports the mean over its N steps
     np.testing.assert_allclose(float(np.mean(step_losses)), float(m2["loss"]), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_full_recipe_converges(tmp_path):
+    """Scaled-down regression of the committed real-TPU run
+    (runs/res8_full_recipe_tpu.jsonl, final test accuracy 1.0): the COMPLETE
+    reference recipe semantics — lr ladder stepped on global steps, SGD
+    momentum 0.9 + wd 1e-5, noise/silence/unknown augmentation defaults,
+    dev-every/best-dev retention — must converge on a separable corpus."""
+    root = str(tmp_path / "sc")
+    D.generate_dataset(root, clips_per_word=40, n_speakers=8, noise_seconds=8)
+    cfg = ExperimentConfig(
+        data=DataConfig(data_dir=root),
+        train=TrainConfig(
+            model="res8",
+            batch_size=64,
+            n_epochs=14,
+            lr=(0.1, 0.01, 0.001),
+            schedule=(70, 100),
+            dev_every=2,
+            eval_batch_size=128,
+        ),
+    )
+    result = train(cfg, logger=MetricsLogger())
+    assert result["test_acc"] >= 0.9, f"test acc {result['test_acc']}"
