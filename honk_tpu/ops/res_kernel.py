@@ -124,7 +124,7 @@ def _res_stack_call(
     n_layers: int,
     H: int,
     W: int,
-    B_blk: int = 8,
+    B_blk: int = 4,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
@@ -205,7 +205,7 @@ def res_forward_fused(
     config: dict[str, Any],
     feats: jax.Array,  # (B, 101, 40) MFCC
     packed=None,
-    B_blk: int = 8,
+    B_blk: int = 4,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:

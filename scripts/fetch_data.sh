@@ -4,10 +4,15 @@
 # this repo has no network; on an online machine this downloads the same
 # archive the reference uses. Offline, use the synthetic corpus instead:
 #   python -m honk_tpu.cli.manage_audio synth data/speech_dataset
+#
+# Usage: fetch_data.sh [DEST] [URL]
+#   DEST  target directory (default data/speech_dataset)
+#   URL   archive override — any curl/wget-able URL including file:// —
+#         used by tests to exercise the full download+extract path offline.
 set -euo pipefail
 
-URL="http://download.tensorflow.org/data/speech_commands_v0.01.tar.gz"
 DEST="${1:-data/speech_dataset}"
+URL="${2:-http://download.tensorflow.org/data/speech_commands_v0.01.tar.gz}"
 
 mkdir -p "$DEST"
 if [ -d "$DEST/yes" ]; then
@@ -15,12 +20,12 @@ if [ -d "$DEST/yes" ]; then
   exit 0
 fi
 
-echo "downloading speech_commands_v0.01 (~1.4 GB)..."
+echo "downloading $URL ..."
 if command -v curl >/dev/null; then
-  curl -L "$URL" -o "$DEST/speech_commands_v0.01.tar.gz"
+  curl -fsSL "$URL" -o "$DEST/speech_commands.tar.gz"
 else
-  wget -O "$DEST/speech_commands_v0.01.tar.gz" "$URL"
+  wget -qO "$DEST/speech_commands.tar.gz" "$URL"
 fi
-tar -xzf "$DEST/speech_commands_v0.01.tar.gz" -C "$DEST"
-rm "$DEST/speech_commands_v0.01.tar.gz"
+tar -xzf "$DEST/speech_commands.tar.gz" -C "$DEST"
+rm "$DEST/speech_commands.tar.gz"
 echo "done: $(ls "$DEST" | wc -l) entries in $DEST"

@@ -136,3 +136,26 @@ def test_full_recipe_converges(tmp_path):
     )
     result = train(cfg, logger=MetricsLogger())
     assert result["test_acc"] >= 0.9, f"test acc {result['test_acc']}"
+
+
+def test_profile_dir_captures_trace(small_root, tmp_path):
+    """--profile-dir plumbing (SURVEY.md §5.1): the first train dispatch
+    runs under jax.profiler.trace and must produce trace artifacts."""
+    import glob
+
+    prof = str(tmp_path / "trace")
+    cfg = ExperimentConfig(
+        data=DataConfig(data_dir=small_root, noise_prob=0.1, timeshift_ms=40),
+        train=TrainConfig(
+            model="cnn-trad-pool2",
+            batch_size=16,
+            n_epochs=1,
+            lr=(0.01,),
+            schedule=(),
+            dev_every=1,
+            eval_batch_size=32,
+        ),
+    )
+    train(cfg, logger=MetricsLogger(), profile_dir=prof)
+    files = glob.glob(prof + "/**/*", recursive=True)
+    assert files, "jax.profiler trace produced no artifacts"
