@@ -10,10 +10,12 @@ activation in HBM; here HBM traffic is one block read + logits write.
 
 Kernel design (pallas_guide.md):
 - Layout: NHWC blocks of B_BLK utterances, channels zero-padded to 64
-  lanes (45 real). Each 3x3 conv = 9 statically-shifted VMEM slices of a
-  zero-border-padded activation buffer, each contracted on the MXU:
-      acc += X[:, dy:dy+H, dx:dx+W, :].reshape(B*H*W, C) @ W[dy, dx]
-  Zero borders make VALID slicing implement SAME padding exactly.
+  lanes (45 real). Each 3x3 conv is an in-VMEM im2col (9 statically-
+  shifted views of the zero-border-padded activation buffer written into
+  one (B*H*W, 9C) scratch) followed by ONE MXU dot at contraction depth
+  9C=576 — much better systolic-array utilization than nine K=64 dots,
+  and a single live accumulator. Zero borders make VALID slicing
+  implement SAME padding exactly.
 - Residual structure matches the reference bit-for-bit in f32:
       y = relu(conv_i(x)); if i even: y += old; old = y   (pre-BN sum)
       x = y * bn_scale_i + bn_offset_i                    (affine-free BN)
@@ -67,20 +69,27 @@ def _make_kernel(n_layers: int, H: int, W: int, B_blk: int, compute_dtype):
     what makes res26 (24 layers) compilable at all.
     """
 
-    def kernel(x_ref, w_ref, s_ref, o_ref, dw_ref, db_ref, out_ref, xbuf, old_ref):
+    def kernel(x_ref, w_ref, s_ref, o_ref, dw_ref, db_ref, out_ref, xbuf, col_ref, old_ref):
         # xbuf: (B, H+2, W+2, C) zero-bordered activations (scratch)
+        # col_ref: (B*H*W, 9*C) im2col scratch in compute dtype
         # old_ref: (B, H, W, C) residual carry (scratch)
         xbuf[:] = x_ref[:]
         old_ref[:] = x_ref[:, 1 : H + 1, 1 : W + 1, :]
 
         def layer(i, _):
-            acc = jnp.zeros((B_blk * H * W, C_PAD), jnp.float32)
-            for dy in range(3):
-                for dx in range(3):
-                    patch = xbuf[:, dy : dy + H, dx : dx + W, :]
-                    a = patch.reshape(B_blk * H * W, C_PAD).astype(compute_dtype)
-                    w = w_ref[i, dy, dx].astype(compute_dtype)
-                    acc += jnp.dot(a, w, preferred_element_type=jnp.float32)
+            # im2col: 9 statically-shifted VMEM views written into one
+            # (B*H*W, 9C) buffer, then ONE MXU dot at contraction depth
+            # 9C=576 — far better systolic-array utilization than nine
+            # K=64 dots, and only one live accumulator.
+            for t in range(9):
+                dy, dx = t // 3, t % 3
+                col_ref[:, t * C_PAD : (t + 1) * C_PAD] = (
+                    xbuf[:, dy : dy + H, dx : dx + W, :]
+                    .reshape(B_blk * H * W, C_PAD)
+                    .astype(compute_dtype)
+                )
+            w = w_ref[i].astype(compute_dtype)  # (9C, C)
+            acc = jnp.dot(col_ref[:], w, preferred_element_type=jnp.float32)
             y = jnp.maximum(acc, 0.0).reshape(B_blk, H, W, C_PAD)
             # Residual add on even 1-based layers (reference semantics:
             # old = y is the post-add, pre-BN activation).
@@ -116,7 +125,7 @@ def _make_kernel(n_layers: int, H: int, W: int, B_blk: int, compute_dtype):
 )
 def _res_stack_call(
     x_padded,  # (B, H+2, W+2, C_PAD) f32, zero borders
-    w_all,  # (n_layers, 3, 3, C_PAD, C_PAD) f32
+    w_all,  # (n_layers, 9*C_PAD, C_PAD) f32, tap-major im2col layout
     bn_scale,  # (n_layers, C_PAD)
     bn_offset,  # (n_layers, C_PAD)
     dense_w,  # (C_PAD, LABEL_PAD)
@@ -124,7 +133,7 @@ def _res_stack_call(
     n_layers: int,
     H: int,
     W: int,
-    B_blk: int = 4,
+    B_blk: int = 8,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
@@ -142,8 +151,8 @@ def _res_stack_call(
                 (B_blk, H + 2, W + 2, C_PAD), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (n_layers, 3, 3, C_PAD, C_PAD),
-                lambda i: (0, 0, 0, 0, 0),
+                (n_layers, 9 * C_PAD, C_PAD),
+                lambda i: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((n_layers, C_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -154,6 +163,7 @@ def _res_stack_call(
         out_specs=pl.BlockSpec((B_blk, LABEL_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((B_blk, H + 2, W + 2, C_PAD), jnp.float32),
+            pltpu.VMEM((B_blk * H * W, 9 * C_PAD), compute_dtype),
             pltpu.VMEM((B_blk, H, W, C_PAD), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -171,12 +181,16 @@ def pack_res_params(variables: dict[str, Any], config: dict[str, Any]):
     n_layers = config["n_layers"]
     eps = 1e-5
 
-    w_all = np.zeros((n_layers, 3, 3, C_PAD, C_PAD), np.float32)
+    # Tap-major im2col weight layout: row block t = dy*3+dx of (9C, C)
+    # matches the kernel's col_ref packing order.
+    w_all = np.zeros((n_layers, 9 * C_PAD, C_PAD), np.float32)
     bn_scale = np.zeros((n_layers, C_PAD), np.float32)
     bn_offset = np.zeros((n_layers, C_PAD), np.float32)
     for i in range(1, n_layers + 1):
         k = np.asarray(params[f"conv{i}"]["kernel"])  # (3, 3, C, C)
-        w_all[i - 1, :, :, :n_maps, :n_maps] = k
+        for t in range(9):
+            dy, dx = t // 3, t % 3
+            w_all[i - 1, t * C_PAD : t * C_PAD + n_maps, :n_maps] = k[dy, dx]
         mean = np.asarray(stats[f"bn{i}"]["mean"])
         var = np.asarray(stats[f"bn{i}"]["var"])
         s = 1.0 / np.sqrt(var + eps)
@@ -205,7 +219,7 @@ def res_forward_fused(
     config: dict[str, Any],
     feats: jax.Array,  # (B, 101, 40) MFCC
     packed=None,
-    B_blk: int = 4,
+    B_blk: int = 8,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:

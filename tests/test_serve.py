@@ -153,3 +153,17 @@ def test_train_resume(tmp_path):
     r2 = train(cfg, checkpoint_dir=ckdir, save_every_epochs=10)
     assert int(r2["state"].step) > step_after
     assert int(r2["state"].step) < 2 * step_after + 4  # did NOT redo epochs 0-1
+
+
+def test_label_service_batch_streamer(service):
+    """N concurrent streams through the service API: one jit-ed step
+    advances all (BASELINE.json:11 batched multi-stream serving)."""
+    bs = service.make_batch_streamer(4, chunk_samples=3200)
+    rng = np.random.default_rng(9)
+    state = bs.reset()
+    for _ in range(6):
+        chunks = (rng.standard_normal((4, 3200)) * 0.1).astype(np.float32)
+        state, post = bs.process(state, chunks)
+    post = np.asarray(post)
+    assert post.shape == (4, len(service.labels))
+    np.testing.assert_allclose(post.sum(-1), 1.0, atol=1e-4)
