@@ -36,12 +36,22 @@ Kernel design (pallas_guide.md):
 The surrounding ``res_forward_fused`` runs conv0+pool in XLA (one big
 MXU conv on the 101x40 map), pads, invokes the kernel, and returns logits.
 
-STATUS: numerically validated (interpret-mode tests vs the XLA model,
-tests/test_res_kernel.py), but NOT the production serving path on this
-toolchain — Mosaic compilation of the fully-unrolled 6x9-dot body takes
->9 minutes through the remote-compile tunnel (jax 0.9 / libtpu 0.0.34),
-vs ~3.6 ms/batch for the already-fast XLA forward. Revisit if Mosaic
-compile time improves or with a fori_loop-over-layers body.
+STATUS — RETIRED FROM THE PRODUCTION PATH, BY MEASUREMENT. Numerically
+validated (interpret-mode tests vs the XLA model, tests/test_res_kernel.py).
+The fori_loop body killed the compile-time problem (20 s vs >9 min for the
+unrolled variant), and the im2col restructure fixed the VMEM overflow —
+but on the real v5e chip (2026-08-20, jax 0.9 / libtpu 0.0.34,
+scripts/bench_res_kernel.py, marginal-chain timing, batch 256, B_blk=4):
+
+    XLA forward    0.360 ms/batch  (710k audio-s/s)
+    fused kernel  12.778 ms/batch  ( 20k audio-s/s)   0.028x
+
+The geometry is simply hostile to a hand-rolled kernel: M=B_blk*325 rows
+x N=64 lanes leaves >half the MXU idle, the 9 im2col relayout writes per
+layer are VPU-serial, and the sequential fori_loop defeats Mosaic's
+pipelining — while XLA's implicit-GEMM conv of the same stack sustains
+~42 TFLOP/s-equivalent. The kernel stays in-tree as a validated design
+study + interpret-mode regression target; the XLA path is production.
 """
 
 from __future__ import annotations
@@ -108,7 +118,10 @@ def _make_kernel(n_layers: int, H: int, W: int, B_blk: int, compute_dtype):
         feats = jnp.mean(
             xbuf[:, 1 : H + 1, 1 : W + 1, :].reshape(B_blk, H * W, C_PAD), axis=1
         )
-        out_ref[:] = (
+        # out_ref is the FULL (B, LABELS) buffer (not grid-blocked: small
+        # B_blk values violate the 8-sublane output-block constraint);
+        # each program writes its own row slice.
+        out_ref[pl.ds(pl.program_id(0) * B_blk, B_blk), :] = (
             jnp.dot(
                 feats.astype(compute_dtype),
                 dw_ref[:].astype(compute_dtype),
@@ -133,7 +146,7 @@ def _res_stack_call(
     n_layers: int,
     H: int,
     W: int,
-    B_blk: int = 8,
+    B_blk: int = 4,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
@@ -160,7 +173,7 @@ def _res_stack_call(
             pl.BlockSpec((C_PAD, LABEL_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((LABEL_PAD,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B_blk, LABEL_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((B_blk, H + 2, W + 2, C_PAD), jnp.float32),
             pltpu.VMEM((B_blk * H * W, 9 * C_PAD), compute_dtype),
@@ -219,7 +232,7 @@ def res_forward_fused(
     config: dict[str, Any],
     feats: jax.Array,  # (B, 101, 40) MFCC
     packed=None,
-    B_blk: int = 8,
+    B_blk: int = 4,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:

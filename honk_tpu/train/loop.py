@@ -322,5 +322,6 @@ def evaluate(cfg: ExperimentConfig, variables: dict[str, Any], dataset: PackedDa
         acc = evaluate_split(
             eval_sweep, variables["params"], variables.get("batch_stats", {}), dataset.test
         )
-    print(f"final test accuracy: {acc}")
+    if jax.process_index() == 0:
+        print(f"final test accuracy: {acc}")
     return acc

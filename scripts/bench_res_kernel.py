@@ -51,8 +51,10 @@ def main() -> None:
     pool = jnp.asarray((rng.standard_normal((pool_n, 101, 40)) * 2).astype(np.float32))
 
     def make_scan(which, length):
+        # variables/packed are jit ARGS, not closure constants — baked-in
+        # weight constants slow XLA compilation drastically over the tunnel.
         @jax.jit
-        def scan(seed):
+        def scan(variables, packed, pool, seed):
             def body(carry, _):
                 i, acc = carry
                 start = (i * batch) % (pool_n - batch)
@@ -71,17 +73,17 @@ def main() -> None:
     def marginal(which):
         fs, fl = make_scan(which, ls), make_scan(which, ll)
         t0 = time.perf_counter()
-        float(jax.device_get(fs(jnp.float32(0.0))))
+        float(jax.device_get(fs(variables, packed, pool, jnp.float32(0.0))))
         compile_s = time.perf_counter() - t0
-        float(jax.device_get(fl(jnp.float32(0.0))))
+        float(jax.device_get(fl(variables, packed, pool, jnp.float32(0.0))))
         ms = []
         for r in range(reps):
             seed = jnp.float32((r + 1) * 1e-6)
             t0 = time.perf_counter()
-            float(jax.device_get(fs(seed)))
+            float(jax.device_get(fs(variables, packed, pool, seed)))
             ts = time.perf_counter() - t0
             t0 = time.perf_counter()
-            float(jax.device_get(fl(seed)))
+            float(jax.device_get(fl(variables, packed, pool, seed)))
             tl = time.perf_counter() - t0
             m = (tl - ts) / (ll - ls)
             if m > 0:
