@@ -23,7 +23,7 @@ from ..metrics import MetricsLogger
 from ..models import find_config, find_model
 from ..parallel import make_data_mesh, replicate, replicated
 from .state import TrainState, create_train_state, make_optimizer
-from .steps import make_eval_step, make_eval_sweep, make_train_scan, make_train_step
+from .steps import make_eval_sweep, make_train_scan, make_train_step
 
 
 def evaluate_split(eval_sweep, params, batch_stats, split: PackedSplit) -> float:

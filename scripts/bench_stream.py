@@ -54,34 +54,26 @@ def main() -> None:
 
     step = bs._step  # jit-ed (state, chunks) -> (state, smoothed)
 
-    def make_scan(length):
-        @jax.jit
-        def scan(state, seed):
-            def body(carry, t):
-                st, acc = carry
-                chunks = pool[t % ll] + acc * 1e-12
-                st, post = step(st, chunks)
-                return (st, acc + jnp.sum(post)), None
+    # Serving-shaped measurement: T back-to-back step dispatches (that IS
+    # the production call pattern — a serving loop can't scan-fold chunks
+    # it hasn't received), fenced once at the end by fetching a posterior
+    # that data-depends on the whole chain; marginal between two chain
+    # lengths cancels fixed overhead.
+    def run_chain(length, seed):
+        state = bs.reset()
+        post = None
+        t0 = time.perf_counter()
+        for t in range(length):
+            state, post = step(state, pool[t % ll] + seed * 1e-12)
+        float(jax.device_get(jnp.sum(post)))
+        return time.perf_counter() - t0
 
-            (state, acc), _ = jax.lax.scan(
-                body, (state, seed), jnp.arange(length), length=length
-            )
-            return acc
-
-        return scan
-
-    fs, fl = make_scan(ls), make_scan(ll)
-    float(jax.device_get(fs(bs.reset(), jnp.float32(0.0))))
-    float(jax.device_get(fl(bs.reset(), jnp.float32(0.0))))
+    run_chain(ls, jnp.float32(0.0))  # compile + warm
     ms = []
     for r in range(reps):
         seed = jnp.float32((r + 1) * 1e-6)
-        t0 = time.perf_counter()
-        float(jax.device_get(fs(bs.reset(), seed)))
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(jax.device_get(fl(bs.reset(), seed)))
-        tl = time.perf_counter() - t0
+        ts = run_chain(ls, seed)
+        tl = run_chain(ll, seed)
         m = (tl - ts) / (ll - ls)
         if m > 0:
             ms.append(m)
