@@ -69,6 +69,15 @@ def make_handler(service: LabelService, trainer: TrainingService | None):
                         "prob": prob,
                     },
                 )
+            elif self.path == "/stream":
+                # Continuous detection over long audio: overlapping windows +
+                # posterior smoothing (stream module), events as JSON.
+                try:
+                    audio = _decode_pcm16(payload["wav_data"])
+                except (KeyError, ValueError) as e:
+                    self._send(400, {"error": f"wav_data missing/invalid: {e}"})
+                    return
+                self._send(200, {"detections": service.evaluate_long(audio)})
             elif self.path == "/train":
                 if trainer is None:
                     self._send(503, {"error": "training service disabled"})

@@ -125,6 +125,16 @@ def test_http_listen_and_errors(service):
             assert False, "expected 503"
         except urllib.error.HTTPError as e:
             assert e.code == 503
+
+        # /stream: continuous detection over 3 s of audio
+        pcm3 = (rng.standard_normal(48000) * 3000).astype(np.int16).tobytes()
+        body = json.dumps({"wav_data": base64.b64encode(pcm3).decode()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stream", data=body, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert "detections" in out and isinstance(out["detections"], list)
     finally:
         httpd.shutdown()
 
