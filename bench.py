@@ -156,8 +156,16 @@ def main() -> None:
     )
     train_aps = batch / train_t
 
-    # Sanity: implied model+frontend FLOP rate (res8 ~124 GFLOP/1024 batch fwd).
-    fwd_flops_per_sample = 171e6  # conv stack ~124e6 + frontend ~47e6
+    # Sanity: implied model+frontend FLOP rate. Mult-add footprints per
+    # 1 s utterance from the governing papers (SURVEY.md §6: res8 ~30M,
+    # res15 ~894M, res26 ~380M; narrow ~1/5) x2 FLOPs + frontend ~47e6.
+    model_flops = {
+        "res8": 124e6, "res8-narrow": 28e6,
+        "res15": 1788e6, "res15-narrow": 330e6,
+        "res26": 760e6, "res26-narrow": 150e6,
+        "cnn-trad-pool2": 190e6,
+    }
+    fwd_flops_per_sample = model_flops.get(model_name, 124e6) + 47e6
     infer_tflops = infer_aps * fwd_flops_per_sample / 1e12
     train_tflops = train_aps * 3 * fwd_flops_per_sample / 1e12
     # v5e bf16 peak is ~197 TFLOP/s (394 is the int8 number); anything at or

@@ -125,13 +125,16 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.output_dir,
             profile_dir=args.profile_dir or None,
         )
-        ck = Checkpointer(args.output_dir)
-        ck.save_best(result["best"])
-        ck.save_step(int(result["state"].step), {
-            "params": result["state"].params,
-            "batch_stats": result["state"].batch_stats,
-        })
-        ck.wait_until_finished()  # saves are async; fence before process exit
+        import jax
+
+        if jax.process_index() == 0:  # host-0 writes (shared-fs pod layout)
+            ck = Checkpointer(args.output_dir)
+            ck.save_best(result["best"])
+            ck.save_step(int(result["state"].step), {
+                "params": result["state"].params,
+                "batch_stats": result["state"].batch_stats,
+            })
+            ck.wait_until_finished()  # saves are async; fence before process exit
         return 0
 
     # eval path

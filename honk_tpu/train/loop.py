@@ -192,7 +192,10 @@ def train(
     best_vars_d = replicate(mesh, best)
 
     def _save(epoch: int) -> None:
-        if ckpt is None:
+        # Multi-process runs: host 0 writes, everyone restores — requires a
+        # shared filesystem (the standard pod setup). Params are replicated
+        # so host 0's copy is THE state.
+        if ckpt is None or jax.process_index() != 0:
             return
         ckpt.save_step(
             int(state.step),
