@@ -1,0 +1,128 @@
+"""Build a local pretrained-model zoo (offline honk-models equivalent).
+
+The reference ecosystem ships trained ``.pt`` state dicts in the external
+repo ``castorini/honk-models`` (SURVEY.md §2.1 #16); this machine has no
+egress, so the zoo is built locally instead: train each requested
+ConfigType on the synthetic corpus (or a real Speech Commands tree via
+--data_dir), keep the best-dev model, and export it in BOTH formats —
+
+    zoo/<model>.pt         honk-format torch state dict (loadable by the
+                           reference AND by ``--type eval --input_file``)
+    zoo/<model>/           orbax checkpoint ("best")
+    zoo/MANIFEST.json      per-model test accuracy, param count, labels
+
+Usage:
+    python scripts/make_zoo.py zoo --models res8 res8-narrow cnn-trad-pool2
+    python -m honk_tpu.cli.train --type eval --model res8 \
+        --input_file zoo/res8.pt --data_dir data/speech_dataset
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_zoo(
+    out_dir: str,
+    models: list[str],
+    data_dir: str,
+    n_epochs: int,
+    batch_size: int,
+    seed: int = 0,
+    compute_dtype: str = "bfloat16",
+    lr: tuple[float, ...] | None = None,
+    schedule: tuple[int, ...] | None = None,
+) -> dict:
+    import jax
+
+    from honk_tpu.ckpt import Checkpointer
+    from honk_tpu.config import DataConfig, ExperimentConfig, TrainConfig
+    from honk_tpu.data import generate_dataset, load_speech_commands
+    from honk_tpu.models import flax_to_torch_state_dict
+    from honk_tpu.train import train
+
+    if not os.path.isdir(os.path.join(data_dir, "yes")):
+        generate_dataset(data_dir)
+    dataset = load_speech_commands(data_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    manifest: dict = {
+        "corpus": data_dir,
+        "n_labels": dataset.n_labels,
+        "labels": list(dataset.label_names),
+        "models": {},
+    }
+    for name in models:
+        tkw = dict(
+            model=name,
+            n_epochs=n_epochs,
+            batch_size=batch_size,
+            seed=seed,
+            compute_dtype=compute_dtype,
+        )
+        # Reference recipe (lr ladder) by default; overridable for small
+        # corpora / CNN variants that want a gentler constant lr.
+        if lr is not None:
+            tkw["lr"] = tuple(lr)
+        if schedule is not None:
+            tkw["schedule"] = tuple(schedule)
+        cfg = ExperimentConfig(
+            data=DataConfig(data_dir=data_dir, seed=seed),
+            train=TrainConfig(**tkw),
+        )
+        result = train(cfg, dataset=dataset)
+        best = result["best"]
+
+        ck = Checkpointer(os.path.join(out_dir, name))
+        ck.save("best", best, wait=True)
+
+        import torch
+
+        sd = flax_to_torch_state_dict(best)
+        torch.save(sd, os.path.join(out_dir, f"{name}.pt"))
+
+        n_params = sum(int(np.asarray(p).size) for p in jax.tree.leaves(best["params"]))
+        manifest["models"][name] = {
+            "pt": f"{name}.pt",
+            "orbax": f"{name}/",
+            "test_acc": round(float(result["test_acc"]), 4),
+            "best_dev_acc": round(float(result["best_dev_acc"]), 4),
+            "n_params": n_params,
+        }
+        print(f"zoo: {name} test_acc={result['test_acc']:.4f} params={n_params}", flush=True)
+
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("out_dir")
+    p.add_argument("--models", nargs="+", default=["res8", "res8-narrow", "cnn-trad-pool2"])
+    p.add_argument("--data_dir", default="data/speech_dataset")
+    p.add_argument("--n_epochs", type=int, default=12)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    p.add_argument("--lr", type=float, nargs="+", default=None)
+    p.add_argument("--schedule", type=int, nargs="*", default=None)
+    args = p.parse_args(argv)
+    build_zoo(
+        args.out_dir, args.models, args.data_dir,
+        args.n_epochs, args.batch_size, args.seed, args.compute_dtype,
+        lr=tuple(args.lr) if args.lr is not None else None,
+        schedule=tuple(args.schedule) if args.schedule is not None else None,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,58 @@
+"""Model-zoo builder tests (SURVEY.md §2.1 #16).
+
+The reference's pretrained zoo is the external ``castorini/honk-models``
+repo of torch state dicts; with zero egress the equivalent capability is
+``scripts/make_zoo.py``: train locally, export honk-format ``.pt`` +
+orbax + manifest, and evaluate through the same ``--type eval
+--input_file model.pt`` path a reference user would use.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from honk_tpu import data as D
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("zoo_sc"))
+    D.generate_dataset(root, clips_per_word=12, n_speakers=4, noise_seconds=4)
+    return root
+
+
+def test_make_zoo_and_eval_pt(corpus, tmp_path, capsys):
+    from make_zoo import build_zoo
+
+    out = str(tmp_path / "zoo")
+    manifest = build_zoo(
+        out, ["cnn-trad-pool2"], corpus, n_epochs=4, batch_size=32, seed=0,
+        lr=(0.003,), schedule=(),
+    )
+    entry = manifest["models"]["cnn-trad-pool2"]
+    assert os.path.isfile(os.path.join(out, entry["pt"]))
+    assert os.path.isfile(os.path.join(out, "MANIFEST.json"))
+    with open(os.path.join(out, "MANIFEST.json")) as f:
+        assert json.load(f)["models"]["cnn-trad-pool2"]["n_params"] == entry["n_params"]
+    # Separable synthetic classes: far beyond 1/12 chance.
+    assert entry["test_acc"] > 0.3, entry
+
+    # The zoo .pt must ride the reference-style eval path end to end.
+    from honk_tpu.cli.train import main as cli_main
+
+    rc = cli_main([
+        "--type", "eval",
+        "--model", "cnn-trad-pool2",
+        "--data_dir", corpus,
+        "--input_file", os.path.join(out, entry["pt"]),
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if "final test accuracy:" in l]
+    assert line, "eval CLI must print the reference's accuracy line"
+    acc = float(line[-1].split(":")[1])
+    # torch->flax round trip preserves the trained model's quality.
+    assert abs(acc - entry["test_acc"]) < 0.15
