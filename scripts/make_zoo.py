@@ -53,12 +53,19 @@ def build_zoo(
     dataset = load_speech_commands(data_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    manifest: dict = {
-        "corpus": data_dir,
-        "n_labels": dataset.n_labels,
-        "labels": list(dataset.label_names),
-        "models": {},
-    }
+    # Merge into an existing manifest so the zoo can be built incrementally
+    # (e.g. res models with the reference lr ladder, CNNs with a gentler lr).
+    manifest_path = os.path.join(out_dir, "MANIFEST.json")
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    else:
+        manifest = {
+            "corpus": data_dir,
+            "n_labels": dataset.n_labels,
+            "labels": list(dataset.label_names),
+            "models": {},
+        }
     for name in models:
         tkw = dict(
             model=name,
@@ -98,7 +105,7 @@ def build_zoo(
         }
         print(f"zoo: {name} test_acc={result['test_acc']:.4f} params={n_params}", flush=True)
 
-    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+    with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
 
