@@ -35,6 +35,11 @@ def test_overfit_smoke_cnn(small_root, capsys):
             schedule=(),
             dev_every=2,
             eval_batch_size=64,
+            # f32 on CPU: emulated-bf16 training at this lr is marginal and
+            # XLA:CPU's threaded reductions are run-order nondeterministic,
+            # so the bf16 run occasionally diverges under load. bf16 is a
+            # TPU perf feature; CPU tests validate recipe semantics.
+            compute_dtype="float32",
         ),
     )
     result = train(cfg, logger=MetricsLogger())
