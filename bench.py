@@ -49,7 +49,12 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     scan_short = int(os.environ.get("BENCH_SCAN_SHORT", "8"))
     scan_long = int(os.environ.get("BENCH_SCAN_LONG", "32"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # 7 reps (up from 3 in r01/r02): the r01->r02 infer swing (-26% on
+    # byte-identical code) showed the tunnel's noise floor is wide; more
+    # reps are nearly free with the compile cache, and the JSON now
+    # reports per-mode min/median/max so round-over-round deltas can be
+    # judged against the measured spread instead of a bare median.
+    reps = int(os.environ.get("BENCH_REPS", "7"))
     model_name = os.environ.get("BENCH_MODEL", "res8")
 
     import jax.numpy as _jnp
@@ -111,9 +116,9 @@ def main() -> None:
                 ms.append(m)
         if not ms:
             raise RuntimeError("all marginal timings were non-positive; tunnel timing unusable")
-        return float(np.median(ms))
+        return float(np.median(ms)), ms
 
-    infer_t = scan_marginal(
+    infer_t, infer_ms = scan_marginal(
         make_infer_scan(scan_short), make_infer_scan(scan_long), params, batch_stats, pool
     )
     infer_aps = batch / infer_t
@@ -150,7 +155,7 @@ def main() -> None:
 
         return train_scan
 
-    train_t = scan_marginal(
+    train_t, train_ms = scan_marginal(
         make_train_scan(scan_short), make_train_scan(scan_long),
         state0, audio_i16, labels, noise,
     )
@@ -172,6 +177,17 @@ def main() -> None:
     # above peak implies the timing elided work.
     suspect = bool(infer_tflops > 197 or train_tflops > 197)
 
+    def spread(ms):
+        """Per-rep marginal times -> audio-s/s {min, median, max} + raw."""
+        aps = sorted(batch / m for m in ms)
+        return {
+            "min": round(aps[0], 1),
+            "median": round(float(np.median(aps)), 1),
+            "max": round(aps[-1], 1),
+            "n_reps": len(aps),
+            "per_rep": [round(a, 1) for a in aps],
+        }
+
     value = float(np.sqrt(infer_aps * train_aps))  # geometric mean of the two modes
     result = {
         "metric": f"audio_seconds_per_s_per_chip_{model_name.replace('-', '_')}_train_infer_geomean",
@@ -180,6 +196,8 @@ def main() -> None:
         "vs_baseline": round(value / 50000.0, 4),
         "infer_audio_s_per_s": round(infer_aps, 1),
         "train_audio_s_per_s": round(train_aps, 1),
+        "infer_spread": spread(infer_ms),
+        "train_spread": spread(train_ms),
         "batch": batch,
         "scan_lens": [scan_short, scan_long],
         "model": model_name,

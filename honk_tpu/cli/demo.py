@@ -16,23 +16,32 @@ import argparse
 import numpy as np
 
 
-def synthesize_long_audio(keywords, data_dir=None, seconds=10, seed=0):
-    """Long noise track with synthetic keyword clips at known positions."""
+def synthesize_long_audio(
+    keywords, data_dir=None, seconds=10, seed=0, gap_s=1.0, noise_amp=0.02
+):
+    """Long noise track with synthetic keyword clips at known positions.
+
+    Each keyword occupies 1 s starting at its returned position; ``gap_s``
+    of noise-only audio follows each clip (the ground-truth detection
+    tests use long gaps to make false-alarm assertions meaningful).
+    ``noise_amp`` sets the noise floor; the train pipeline's augmentation
+    noise is ~0.01 amplitude, so 0.01 matches the training distribution.
+    """
     from ..data.synthetic import DEFAULT_WORDS, _word_signal
 
     rng = np.random.default_rng(seed)
     sr = 16000
-    track = 0.02 * rng.standard_normal(seconds * sr).astype(np.float32)
+    track = noise_amp * rng.standard_normal(seconds * sr).astype(np.float32)
     positions = []
     t = sr
     for word in keywords:
+        if t + sr > len(track):
+            break
         idx = DEFAULT_WORDS.index(word)
         clip = _word_signal(idx, speaker=0, n=0, sr=sr, rng=rng).astype(np.float32)
         track[t : t + sr] += clip
         positions.append((t / sr, word))
-        t += 2 * sr
-        if t + sr > len(track):
-            break
+        t += sr + int(gap_s * sr)
     return np.clip(track, -1, 1), positions
 
 

@@ -23,6 +23,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, default=16888)
     p.add_argument("--no-train", action="store_true")
     p.add_argument("--config", default="", help="reference-style config.json")
+    p.add_argument(
+        "--stream-slots", type=int, default=8,
+        help="concurrent /stream sessions sharing one batched slab (0 disables)",
+    )
+    p.add_argument("--chunk-samples", type=int, default=3200)
     args = p.parse_args(argv)
 
     labels = None
@@ -37,7 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     from ..serve import LabelService, serve
 
     service = LabelService(args.model, checkpoint, labels=labels)
-    httpd = serve(service, port=args.port, enable_training=not args.no_train)
+    httpd = serve(
+        service,
+        port=args.port,
+        enable_training=not args.no_train,
+        n_stream_slots=args.stream_slots,
+        chunk_samples=args.chunk_samples,
+    )
     print(f"listening on :{args.port} model={args.model} labels={service.labels}")
     try:
         httpd.serve_forever()

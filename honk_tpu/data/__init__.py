@@ -16,5 +16,5 @@ from .dataset import (  # noqa: F401
     load_speech_commands,
 )
 from .splits import DEV, TEST, TRAIN, which_set  # noqa: F401
-from .synthetic import generate_dataset  # noqa: F401
+from .synthetic import generate_dataset, generate_hard_dataset  # noqa: F401
 from .wavio import read_wav, read_wav_int16, write_wav  # noqa: F401

@@ -15,6 +15,8 @@ tests and end-to-end pipeline validation.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 import numpy as np
@@ -72,4 +74,163 @@ def generate_dataset(
         ("pink_ish_noise.wav", lambda n: np.cumsum(0.01 * rng.standard_normal(n)) % 0.4 - 0.2),
     ]:
         write_wav(os.path.join(nd, name), gen(noise_seconds * sr), sr)
+    return root
+
+
+# ---------------------------------------------------------------------------
+# Hard mode: confusable classes for recipe-dynamics rehearsal.
+#
+# The easy generator above places word classes ~170 Hz apart — any model
+# saturates at accuracy 1.0 within an epoch, which leaves the training
+# recipe (lr ladder boundaries, weight decay, BN statistics, capacity
+# ordering res8 > res8-narrow) completely unexercised. Hard mode makes the
+# class structure genuinely speech-like-difficult:
+#
+# - Words are FORMANT TRAJECTORIES (F1/F2 start->end glides) drawn from a
+#   shared small grid, so many word pairs differ in a single endpoint by
+#   ~190-450 Hz — confusable, but learnable from trajectory shape.
+# - Speakers have a vocal-tract scale factor alpha (multiplies all
+#   formants, +/- speaker_spread) and a fundamental f0 whose amplitude
+#   modulation spreads spectral energy — within-class variance comparable
+#   to between-class distance, so models must learn speaker-invariant
+#   trajectory shape. Speaker identity (not (word, speaker)) keys the
+#   filename hash, so the SHA1 split separates SPEAKERS across
+#   train/dev/test — generalization, not memorization.
+# - A per-clip SNR knob buries the word under white noise at snr_db
+#   (uniformly drawn from a range), on top of the train pipeline's own
+#   background-noise augmentation.
+#
+# Tuned (see runs/res8_hard_recipe_tpu.jsonl) so the 26-epoch reference
+# recipe lands res8 in the ~85-95% band instead of 1.0.
+# ---------------------------------------------------------------------------
+
+# (F1_start, F1_end, F2_start, F2_end) in Hz. Neighbouring rows share most
+# coordinates; the last three are the unknown-word prototypes.
+_HARD_PROTOS = np.array(
+    [
+        (430, 620, 1800, 1350),
+        (430, 620, 1800, 1800),  # differs from row 0 only in F2 end
+        (430, 810, 1800, 1350),  # differs from row 0 only in F1 end
+        (620, 620, 1800, 1350),
+        (620, 620, 1350, 1800),
+        (620, 430, 1350, 1800),
+        (620, 430, 2250, 1800),
+        (810, 430, 2250, 1800),
+        (810, 620, 2250, 1350),
+        (810, 620, 1800, 1350),  # differs from row 3 only in F1 start
+        (430, 430, 1350, 2250),
+        (620, 810, 2250, 2250),
+        (810, 810, 1350, 1350),
+    ],
+    dtype=np.float64,
+)
+
+
+def _hard_prototypes(n: int, rng: np.random.Generator) -> np.ndarray:
+    if n <= len(_HARD_PROTOS):
+        return _HARD_PROTOS[:n]
+    extra = rng.choice([430.0, 620.0, 810.0], (n - len(_HARD_PROTOS), 2))
+    extra2 = rng.choice([1350.0, 1800.0, 2250.0], (n - len(_HARD_PROTOS), 2))
+    return np.concatenate([_HARD_PROTOS, np.concatenate([extra, extra2], axis=1)])
+
+
+def _speaker_params(speaker: int, spread: float, seed: int) -> tuple[float, float]:
+    """Deterministic per-speaker (vocal-tract alpha, fundamental f0)."""
+    r = np.random.default_rng(seed * 100003 + speaker)
+    alpha = 1.0 + r.uniform(-spread, spread)
+    f0 = r.uniform(90.0, 240.0)
+    return float(alpha), float(f0)
+
+
+def _hard_word_signal(
+    proto: np.ndarray,
+    alpha: float,
+    f0: float,
+    rng: np.random.Generator,
+    sr: int,
+    jitter_frac: float,
+    snr_db: tuple[float, float],
+) -> np.ndarray:
+    t = np.arange(sr) / sr
+    dur = rng.uniform(0.38, 0.72)
+    center = 0.5 + 0.06 * rng.standard_normal()
+    tau = np.clip((t - (center - dur / 2)) / dur, 0.0, 1.0)
+    f1s, f1e, f2s, f2e = proto
+    sig = np.zeros(sr)
+    # Two word-bearing formant glides + one speaker-only nuisance formant.
+    for k, (fs, fe) in enumerate(((f1s, f1e), (f2s, f2e), (2800.0, 2800.0))):
+        fs = fs * alpha * (1.0 + jitter_frac * rng.standard_normal())
+        fe = fe * alpha * (1.0 + jitter_frac * rng.standard_normal())
+        f = np.clip(fs + (fe - fs) * tau, 60.0, 3900.0)
+        phase = 2 * np.pi * np.cumsum(f) / sr + rng.uniform(0, 2 * np.pi)
+        sig += (0.6 / (k + 1)) * np.sin(phase)
+    # Voicing: amplitude modulation at f0 puts speaker-dependent sidebands
+    # around every formant (spectral nuisance the classifier must ignore).
+    sig *= 1.0 + 0.35 * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 2 * np.pi))
+    sig *= np.exp(-0.5 * ((t - center) / (0.30 * dur)) ** 2)
+    lo, hi = snr_db
+    snr = rng.uniform(lo, hi)
+    noise_pow = np.mean(sig**2) / (10.0 ** (snr / 10.0))
+    sig = sig + np.sqrt(noise_pow) * rng.standard_normal(sr)
+    return (0.5 * sig / (np.max(np.abs(sig)) + 1e-9)).astype(np.float64)
+
+
+def generate_hard_dataset(
+    root: str,
+    words: tuple[str, ...] = DEFAULT_WORDS,
+    unknown_words: tuple[str, ...] = UNKNOWN_WORDS,
+    clips_per_word: int = 800,
+    n_speakers: int = 60,
+    noise_seconds: int = 30,
+    sr: int = 16000,
+    seed: int = 0,
+    snr_db: tuple[float, float] = (0.0, 12.0),
+    speaker_spread: float = 0.15,
+    formant_jitter: float = 0.035,
+) -> str:
+    """Write the hard-mode corpus under `root`; returns `root`.
+
+    Filenames hash the SPEAKER id only (md5, not Python's salted hash), so
+    (a) regeneration with the same args is byte-reproducible and (b) the
+    SHA1 split buckets whole speakers, like the real corpus convention.
+    The full generator recipe is recorded in `<root>/CORPUS.json`.
+    """
+    rng = np.random.default_rng(seed)
+    all_words = tuple(words) + tuple(unknown_words)
+    protos = _hard_prototypes(len(all_words), rng)
+    for w_idx, word in enumerate(all_words):
+        d = os.path.join(root, word)
+        os.makedirs(d, exist_ok=True)
+        for i in range(clips_per_word):
+            speaker = i % n_speakers
+            alpha, f0 = _speaker_params(speaker, speaker_spread, seed)
+            sid = hashlib.md5(f"spk{seed}:{speaker}".encode()).hexdigest()[:8]
+            path = os.path.join(d, f"{sid}_nohash_{i // n_speakers}.wav")
+            clip = _hard_word_signal(
+                protos[w_idx], alpha, f0, rng, sr, formant_jitter, snr_db
+            )
+            write_wav(path, clip, sr)
+    nd = os.path.join(root, "_background_noise_")
+    os.makedirs(nd, exist_ok=True)
+    for name, gen in [
+        ("white_noise.wav", lambda n: 0.1 * rng.standard_normal(n)),
+        ("pink_ish_noise.wav", lambda n: np.cumsum(0.01 * rng.standard_normal(n)) % 0.4 - 0.2),
+    ]:
+        write_wav(os.path.join(nd, name), gen(noise_seconds * sr), sr)
+    recipe = {
+        "generator": "honk_tpu.data.synthetic.generate_hard_dataset",
+        "words": list(words),
+        "unknown_words": list(unknown_words),
+        "clips_per_word": clips_per_word,
+        "n_speakers": n_speakers,
+        "noise_seconds": noise_seconds,
+        "sr": sr,
+        "seed": seed,
+        "snr_db": list(snr_db),
+        "speaker_spread": speaker_spread,
+        "formant_jitter": formant_jitter,
+    }
+    with open(os.path.join(root, "CORPUS.json"), "w") as f:
+        json.dump(recipe, f, indent=2)
+        f.write("\n")
     return root

@@ -9,21 +9,28 @@ demo — reconstructed [中], SURVEY.md §2.1). Endpoints:
     POST /train    {"positives": [<base64 wav>...], "label": "<word>"}
         -> {"final_loss": float}
     GET  /labels   -> {"labels": [...]}
+    POST /stream/open  {"chunk_samples"?}        -> {"stream_id", "chunk_samples"}
+    POST /stream/push  {"stream_id","wav_data"}  -> {"posterior","label","prob","events"}
+    POST /stream/close {"stream_id"}             -> {"events"}
 
-stdlib http.server only (no extra deps); single-threaded — the TPU is a
-serial resource anyway. Start via ``python -m honk_tpu.cli.serve``.
+stdlib http.server only (no extra deps). The server is THREADED
+(ThreadingHTTPServer): JAX dispatch is thread-safe and device work
+serializes on-chip anyway, so a long /train no longer blocks /listen at
+the socket level; the streaming session hub (serve/streams.py) holds its
+own lock around the shared slab. Start via ``python -m honk_tpu.cli.serve``.
 """
 
 from __future__ import annotations
 
 import base64
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
 import numpy as np
 
 from .service import LabelService, TrainingService
+from .streams import StreamHub
 
 
 def _decode_pcm16(b64: str) -> np.ndarray:
@@ -31,7 +38,7 @@ def _decode_pcm16(b64: str) -> np.ndarray:
     return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
 
 
-def make_handler(service: LabelService, trainer: TrainingService | None):
+def make_handler(service: LabelService, trainer: TrainingService | None, hub: StreamHub | None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj: dict[str, Any]) -> None:
             body = json.dumps(obj).encode()
@@ -78,6 +85,8 @@ def make_handler(service: LabelService, trainer: TrainingService | None):
                     self._send(400, {"error": f"wav_data missing/invalid: {e}"})
                     return
                 self._send(200, {"detections": service.evaluate_long(audio)})
+            elif self.path.startswith("/stream/"):
+                self._handle_stream(payload)
             elif self.path == "/train":
                 if trainer is None:
                     self._send(503, {"error": "training service disabled"})
@@ -94,13 +103,46 @@ def make_handler(service: LabelService, trainer: TrainingService | None):
             else:
                 self._send(404, {"error": "unknown endpoint"})
 
+        def _handle_stream(self, payload: dict[str, Any]) -> None:
+            if hub is None:
+                self._send(503, {"error": "streaming disabled"})
+                return
+            try:
+                if self.path == "/stream/open":
+                    sid = hub.open()
+                    self._send(200, {"stream_id": sid, "chunk_samples": hub.chunk})
+                elif self.path == "/stream/push":
+                    chunk = _decode_pcm16(payload["wav_data"])
+                    self._send(200, hub.push(payload["stream_id"], chunk))
+                elif self.path == "/stream/close":
+                    self._send(200, hub.close(payload["stream_id"]))
+                else:
+                    self._send(404, {"error": "unknown stream endpoint"})
+            except KeyError as e:
+                self._send(404, {"error": f"unknown/missing stream_id: {e}"})
+            except (ValueError, RuntimeError) as e:
+                self._send(400, {"error": str(e)})
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
     return Handler
 
 
-def serve(service: LabelService, port: int = 16888, enable_training: bool = True) -> HTTPServer:
+def serve(
+    service: LabelService,
+    port: int = 16888,
+    enable_training: bool = True,
+    n_stream_slots: int = 8,
+    stream_cfg=None,
+    chunk_samples: int = 3200,
+) -> ThreadingHTTPServer:
     trainer = TrainingService(service) if enable_training else None
-    httpd = HTTPServer(("0.0.0.0", port), make_handler(service, trainer))
+    hub = (
+        StreamHub(service, n_stream_slots, stream_cfg, chunk_samples)
+        if n_stream_slots > 0
+        else None
+    )
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service, trainer, hub))
+    httpd.hub = hub
     return httpd

@@ -4,6 +4,7 @@ from .streamer import (  # noqa: F401
     Streamer,
     StreamState,
     detect,
+    detect_stream,
     frame_mfccs,
     smooth_posteriors,
     stream_file,

@@ -86,13 +86,25 @@ class Detection:
 
 
 def detect(smoothed: np.ndarray, cfg: StreamConfig, hop_s: float) -> list[Detection]:
-    """Threshold smoothed posteriors into detection events (host-side)."""
+    """Threshold smoothed posteriors into detection events (host-side).
+
+    A detection fires only when a keyword label is BOTH the overall argmax
+    of the smoothed posterior AND above ``detection_threshold``. Requiring
+    the overall argmax (not just the best keyword) means windows where
+    ``__silence__``/``__unknown__`` carries most of the mass cannot fire a
+    low-confidence keyword — this is what keeps the false-alarm rate on
+    noise-only spans at zero (asserted by the ground-truth planted-keyword
+    tests in tests/test_stream.py). ``time_s`` is the START of the 1 s
+    detection window.
+    """
     events: list[Detection] = []
     last_fire = -(10**9)
     last_label = -1
     for i in range(smoothed.shape[0]):
         probs = smoothed[i]
-        label = int(probs[2:].argmax()) + 2  # skip silence/unknown
+        label = int(probs.argmax())
+        if label < 2:  # silence/unknown wins the window -> no detection
+            continue
         score = float(probs[label])
         if score >= cfg.detection_threshold:
             if i - last_fire >= cfg.min_gap_windows or label != last_label:
@@ -100,6 +112,26 @@ def detect(smoothed: np.ndarray, cfg: StreamConfig, hop_s: float) -> list[Detect
                 last_fire = i
                 last_label = label
     return events
+
+
+def detect_stream(
+    smoothed_series: np.ndarray, cfg: StreamConfig, chunk_samples: int
+) -> list[Detection]:
+    """Detection events from an ONLINE smoothed-posterior series.
+
+    ``smoothed_series[c]`` is the posterior after feeding chunk ``c`` to a
+    ``Streamer``; that step's (causal) window ends at sample
+    ``(c+1)*chunk_samples``, so its start is that minus one window. Event
+    times are shifted accordingly to be comparable with offline
+    ``detect``/``stream_file`` times (both report window-start seconds).
+    """
+    hop_s = chunk_samples / F.SAMPLE_RATE
+    shift = hop_s - WINDOW_FRAMES * HOP / F.SAMPLE_RATE  # ~ chunk - 1 s
+    events = detect(np.asarray(smoothed_series), cfg, hop_s)
+    return [
+        Detection(time_s=max(0.0, e.time_s + shift), label=e.label, score=e.score)
+        for e in events
+    ]
 
 
 def stream_file(
@@ -236,14 +268,20 @@ class BatchStreamer:
         self.n_labels = self._single.n_labels
         vstep = jax.vmap(self._single._step_impl)
 
-        def step(state: StreamState, chunks: jax.Array):
+        def step(state: StreamState, chunks: jax.Array, mask: jax.Array):
             if data_axis is not None:
                 from jax.sharding import PartitionSpec as P
 
                 constrain = lambda x: jax.lax.with_sharding_constraint(x, P(data_axis))
                 state = jax.tree.map(constrain, state)
                 chunks = constrain(chunks)
-            return vstep(state, chunks)
+            new_state, post = vstep(state, chunks)
+            # Inactive slots (mask False) keep their previous state verbatim:
+            # session-based serving (serve/streams.py) advances only the
+            # slots whose sessions pushed a chunk this dispatch, in ONE
+            # compiled program over the whole slab.
+            sel = lambda n, o: jnp.where(mask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+            return jax.tree.map(sel, new_state, state), jnp.where(mask[:, None], post, 0.0)
 
         # Donate the state: serving holds exactly one live state per call.
         self._step = jax.jit(step, donate_argnums=(0,))
@@ -254,7 +292,20 @@ class BatchStreamer:
             lambda x: jnp.zeros((self.n_streams,) + x.shape, x.dtype), single
         )
 
-    def process(self, state: StreamState, chunks: np.ndarray) -> tuple[StreamState, np.ndarray]:
-        """Feed one chunk per stream; returns (state, smoothed (N, n_labels))."""
+    def process(
+        self,
+        state: StreamState,
+        chunks: np.ndarray,
+        mask: np.ndarray | None = None,
+    ) -> tuple[StreamState, np.ndarray]:
+        """Feed one chunk per stream; returns (state, smoothed (N, n_labels)).
+
+        ``mask`` (N,) bool selects which slots advance; None = all. Masked
+        slots' states are untouched and their posterior row is zeros.
+        """
         assert chunks.shape == (self.n_streams, self.chunk), chunks.shape
-        return self._step(state, jnp.asarray(chunks, jnp.float32))
+        if mask is None:
+            mask = np.ones((self.n_streams,), bool)
+        return self._step(
+            state, jnp.asarray(chunks, jnp.float32), jnp.asarray(mask, bool)
+        )

@@ -43,7 +43,7 @@ def build_zoo(
     import jax
 
     from honk_tpu.ckpt import Checkpointer
-    from honk_tpu.config import DataConfig, ExperimentConfig, TrainConfig
+    from honk_tpu.config import DataConfig, ExperimentConfig, TrainConfig  # noqa: F401
     from honk_tpu.data import generate_dataset, load_speech_commands
     from honk_tpu.models import flax_to_torch_state_dict
     from honk_tpu.train import train
@@ -53,15 +53,42 @@ def build_zoo(
     dataset = load_speech_commands(data_dir)
     os.makedirs(out_dir, exist_ok=True)
 
+    # Corpus provenance: prefer the generator recipe (CORPUS.json, written
+    # by generate_hard_dataset / scripts/make_corpus.py) over a volatile
+    # absolute path — /tmp paths do not survive reboots on this box.
+    corpus_recipe = None
+    recipe_path = os.path.join(data_dir, "CORPUS.json")
+    if os.path.isfile(recipe_path):
+        with open(recipe_path) as f:
+            corpus_recipe = json.load(f)
+    split_sizes = {
+        "train": len(dataset.train),
+        "dev": len(dataset.dev),
+        "test": len(dataset.test),
+    }
+
     # Merge into an existing manifest so the zoo can be built incrementally
     # (e.g. res models with the reference lr ladder, CNNs with a gentler lr).
     manifest_path = os.path.join(out_dir, "MANIFEST.json")
     if os.path.isfile(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
+        # Refuse to silently mix label sets: a rebuild into an existing zoo
+        # with a different corpus must either match or start fresh.
+        assert manifest["n_labels"] == dataset.n_labels and manifest["labels"] == list(
+            dataset.label_names
+        ), (
+            f"existing manifest labels {manifest['labels']} != corpus labels "
+            f"{list(dataset.label_names)}; use a fresh out_dir"
+        )
+        manifest["corpus"] = data_dir
+        manifest["corpus_recipe"] = corpus_recipe
+        manifest["split_sizes"] = split_sizes
     else:
         manifest = {
             "corpus": data_dir,
+            "corpus_recipe": corpus_recipe,
+            "split_sizes": split_sizes,
             "n_labels": dataset.n_labels,
             "labels": list(dataset.label_names),
             "models": {},
@@ -102,11 +129,21 @@ def build_zoo(
             "test_acc": round(float(result["test_acc"]), 4),
             "best_dev_acc": round(float(result["best_dev_acc"]), 4),
             "n_params": n_params,
+            "recipe": {
+                "n_epochs": n_epochs,
+                "batch_size": batch_size,
+                "seed": seed,
+                "compute_dtype": compute_dtype,
+                "lr": list(lr) if lr is not None else list(TrainConfig().lr),
+                "schedule": list(schedule) if schedule is not None else list(TrainConfig().schedule),
+                "n_test_clips": len(dataset.test),
+            },
         }
         print(f"zoo: {name} test_acc={result['test_acc']:.4f} params={n_params}", flush=True)
 
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)
+        f.write("\n")
     return manifest
 
 

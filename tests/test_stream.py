@@ -122,6 +122,97 @@ def test_batch_streamer_matches_independent_streamers(model_and_vars):
         np.testing.assert_allclose(np.asarray(post), ref[t], atol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# Ground-truth detection quality (SURVEY.md §4.7, VERDICT r2 #2): a TRAINED
+# zoo model over ≥60 s of audio with keywords planted at known positions.
+# Every keyword must be detected within ±250 ms with the correct label, and
+# the noise-only spans (≥7 s between keywords) must produce ZERO false
+# alarms — for the offline stream_file path, the online Streamer, and the
+# batched multi-stream BatchStreamer (whose second stream is pure noise).
+# ---------------------------------------------------------------------------
+
+DETECT_KEYWORDS = ["yes", "stop", "go", "left", "no", "right"]
+DETECT_CFG = dict(min_gap_windows=10, smoothing_window=3, detection_threshold=0.6)
+
+
+@pytest.fixture(scope="module")
+def trained_track():
+    from honk_tpu.cli.demo import synthesize_long_audio
+    from honk_tpu.models import load_honk_checkpoint
+
+    audio, positions = synthesize_long_audio(
+        DETECT_KEYWORDS, seconds=60, seed=7, gap_s=8.0, noise_amp=0.01
+    )
+    variables = load_honk_checkpoint("zoo/res8.pt")
+    from honk_tpu.models import find_config, find_model
+
+    model = find_model("res8")(config=find_config("res8"))
+    labels = ["__silence__", "__unknown__", "yes", "no", "up", "down",
+              "left", "right", "on", "off", "stop", "go"]
+    return model, variables, audio, positions, labels
+
+
+def _assert_events_match_ground_truth(events, positions, labels):
+    assert len(events) == len(positions), (
+        f"expected {len(positions)} detections, got "
+        f"{[(e.time_s, labels[e.label]) for e in events]}"
+    )
+    for e, (t, word) in zip(events, positions):
+        assert labels[e.label] == word, f"at {e.time_s}s: {labels[e.label]} != {word}"
+        assert abs(e.time_s - t) <= 0.25, f"{word}: detected {e.time_s}s, planted {t}s"
+
+
+def test_offline_detection_at_known_positions(trained_track):
+    model, variables, audio, positions, labels = trained_track
+    cfg = StreamConfig(**DETECT_CFG)
+    smoothed, events = stream_file(model, variables, audio, cfg)
+    _assert_events_match_ground_truth(events, positions, labels)
+    # False-alarm check on the raw posteriors too: outside keyword
+    # neighbourhoods no window's argmax may be a keyword.
+    hop_s = cfg.hop_samples / 16000
+    mask = np.ones(smoothed.shape[0], bool)
+    for t, _ in positions:
+        mask[int((t - 0.6) / hop_s) : int((t + 1.6) / hop_s)] = False
+    assert (smoothed[mask].argmax(-1) >= 2).sum() == 0
+
+
+def test_online_streamer_detection_at_known_positions(trained_track):
+    from honk_tpu.stream import detect_stream
+
+    model, variables, audio, positions, labels = trained_track
+    cfg = StreamConfig(**DETECT_CFG)
+    s = Streamer(model, variables, cfg, chunk_samples=3200)
+    state = s.reset()
+    series = []
+    for c in range(len(audio) // 3200):
+        state, post = s.process(state, audio[c * 3200 : (c + 1) * 3200])
+        series.append(np.asarray(post))
+    events = detect_stream(np.stack(series), cfg, 3200)
+    _assert_events_match_ground_truth(events, positions, labels)
+
+
+def test_batch_streamer_detection_and_false_alarms(trained_track):
+    """Stream 0 carries the keyword track, stream 1 pure noise: the batched
+    path must detect every keyword on stream 0 and NOTHING on stream 1."""
+    from honk_tpu.stream import BatchStreamer, detect_stream
+
+    model, variables, audio, positions, labels = trained_track
+    cfg = StreamConfig(**DETECT_CFG)
+    rng = np.random.default_rng(99)
+    noise_only = (0.01 * rng.standard_normal(len(audio))).astype(np.float32)
+    both = np.stack([audio, noise_only])
+
+    bs = BatchStreamer(model, variables, 2, cfg, 3200)
+    state = bs.reset()
+    series = []
+    for c in range(len(audio) // 3200):
+        state, post = bs.process(state, both[:, c * 3200 : (c + 1) * 3200])
+        series.append(np.asarray(post))
+    series = np.stack(series)
+    _assert_events_match_ground_truth(detect_stream(series[:, 0], cfg, 3200), positions, labels)
+    assert detect_stream(series[:, 1], cfg, 3200) == []
+
+
 def test_batch_streamer_shards_across_mesh(model_and_vars):
     """With data_axis set, the stream axis of the state/posteriors must be
     distributed over all 8 devices of the mesh."""

@@ -25,6 +25,8 @@ def corpus(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow  # ~112 s end-to-end training on the 2-core box; the
+# fast lane keeps .pt-eval coverage via test_cli_eval's synthesized path.
 def test_make_zoo_and_eval_pt(corpus, tmp_path, capsys):
     from make_zoo import build_zoo
 
