@@ -248,12 +248,19 @@ def train(
                 state, m = _dispatch(train_step, state, key, audio_i16, labels_arr, noise)
                 loss_sum = loss_sum + m["loss"]
                 acc_sum = acc_sum + m["acc"]
-            # Dev eval is dispatched BEFORE the metrics fetch so that ONE
-            # device->host round trip per epoch fences everything (round
-            # trips over a tunnel rival the step compute for these models).
-            # Best-dev retention happens on device in _update_best.
+            # Fence on the accumulated metrics before reading the clock
+            # (device_get of chain-dependent scalars, not block_until_ready:
+            # see bench.py on why). This fence makes audio_s_per_s a PURE
+            # train-throughput number; the dev eval below is timed
+            # separately and logged as eval_s so its share of wall time is
+            # visible at real-corpus scale (it recompiles per split length
+            # and grows with the dev split).
+            loss_v, acc_v = jax.device_get((loss_sum, acc_sum))
+            dt = _time.perf_counter() - t0
             do_dev = (epoch + 1) % cfg.train.dev_every == 0
+            eval_s = 0.0
             if do_dev:
+                t1 = _time.perf_counter()
                 correct, total = eval_sweep(
                     state.params, state.batch_stats, dev_audio, dev_labels
                 )
@@ -261,13 +268,8 @@ def train(
                     best_dev_d, best_vars_d, correct, total,
                     state.params, state.batch_stats,
                 )
-                loss_v, acc_v, c_v, t_v = jax.device_get((loss_sum, acc_sum, correct, total))
-            else:
-                # Fence on the accumulated metrics before reading the clock
-                # (device_get of chain-dependent scalars, not
-                # block_until_ready: see bench.py on why).
-                loss_v, acc_v = jax.device_get((loss_sum, acc_sum))
-            dt = _time.perf_counter() - t0
+                c_v, t_v = jax.device_get((correct, total))
+                eval_s = _time.perf_counter() - t1
             audio_s = steps_per_epoch * cfg.train.batch_size  # 1 s utterances
             logger.log(
                 "train_epoch",
@@ -276,6 +278,7 @@ def train(
                 loss=float(loss_v) / steps_per_epoch,
                 acc=float(acc_v) / steps_per_epoch,
                 audio_s_per_s=round(audio_s / max(dt, 1e-9) / max(1, jax.device_count()), 1),
+                **({"eval_s": round(eval_s, 4)} if do_dev else {}),
             )
             if do_dev:
                 # f32 on both sides so host and device best-dev bookkeeping

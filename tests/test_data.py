@@ -106,3 +106,47 @@ def test_eval_batch_mask(dataset):
         a, l, valid = D.eval_batch(audio, labels, start, bs)
         seen += int(np.asarray(valid).sum())
     assert seen == n
+
+
+def test_hard_dataset_reproducible_and_speaker_split(tmp_path):
+    """Hard-mode corpus (recipe-dynamics rehearsal): same args must produce
+    byte-identical corpora (md5 speaker ids, seeded RNG — reproducibility
+    the easy generator's salted hash() naming cannot give), and the SHA1
+    split must bucket whole SPEAKERS (a speaker id never appears in two
+    splits), mirroring the real corpus convention."""
+    import hashlib
+    import os
+
+    from honk_tpu.data import generate_hard_dataset, load_speech_commands
+    from honk_tpu.data import splits as S
+
+    kw = dict(clips_per_word=8, n_speakers=8, noise_seconds=2, seed=3)
+    a = generate_hard_dataset(str(tmp_path / "a"), **kw)
+    b = generate_hard_dataset(str(tmp_path / "b"), **kw)
+
+    def digest(root):
+        h = hashlib.sha1()
+        for dirpath, _, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                h.update(f.encode())
+                with open(os.path.join(dirpath, f), "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    assert digest(a) == digest(b)
+
+    # speaker-atomic split: each sid maps to exactly one bucket
+    sid_bucket = {}
+    for word in os.listdir(a):
+        d = os.path.join(a, word)
+        if not os.path.isdir(d) or word == "_background_noise_":
+            continue
+        for f in os.listdir(d):
+            if not f.endswith(".wav"):
+                continue
+            sid = f.split("_nohash_")[0]
+            bucket = S.which_set(os.path.join(d, f), 10.0, 10.0)
+            assert sid_bucket.setdefault(sid, bucket) == bucket, (sid, word)
+
+    ds = load_speech_commands(a)
+    assert ds.n_labels == 12 and len(ds.train) > 0

@@ -83,3 +83,41 @@ def test_two_process_training(tmp_path):
     # Host-0 gating: only process 0 logs/prints.
     assert "final test accuracy:" in logs[0]
     assert "final test accuracy:" not in logs[1]
+
+
+@pytest.mark.slow
+def test_distributed_init_on_real_tpu(tmp_path):
+    """Slow lane (VERDICT r2 #7): the jax.distributed coordinator + training
+    + host-0 checkpoint-write path against the REAL chip topology it will
+    meet in production — one process, one TPU, coordinator handshake and
+    real device placement. Skips cleanly (worker exit 42) when no TPU is
+    reachable (e.g. CI without the tunnel, or the chip is held)."""
+    data_dir = str(tmp_path / "sc")
+    D.generate_dataset(data_dir, clips_per_word=6, n_speakers=3, noise_seconds=3)
+
+    port = _free_port()
+    out = str(tmp_path / "result_tpu.json")
+    ckpt = str(tmp_path / "ck")
+    env = dict(os.environ, PYTHONPATH=REPO, HONK_MP_PLATFORM="tpu")
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+         "0", "1", str(port), data_dir, out, ckpt],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        log, _ = p.communicate(timeout=900)
+    except subprocess.TimeoutExpired:
+        p.kill()  # exact child PID only (no pattern kills)
+        pytest.fail("TPU worker timed out")
+    if p.returncode == 42:
+        pytest.skip("no TPU reachable from this environment")
+    assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    r = json.load(open(out))
+    assert r["n_processes"] == 1
+    assert r["backend"] != "cpu", r
+    assert "TPU" in r["device"], r
+    assert "final test accuracy:" in log
+    # host-0 checkpoint write landed on disk
+    assert os.path.isdir(ckpt) and os.listdir(ckpt), os.listdir(tmp_path)

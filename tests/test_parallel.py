@@ -132,3 +132,50 @@ def test_eval_metric_reduction_psum():
         jax.shard_map(count_even, mesh=mesh, in_specs=P("data"), out_specs=P())
     )(x)
     assert int(total) == 32
+
+
+def test_dp_step_collective_bytes_match_param_count():
+    """Quantified scaling evidence (SCALING.md): the compiled DP train step
+    must contain exactly ONE fused gradient all-reduce whose payload is the
+    model's parameter count (+2 metric scalars), plus only the small
+    BatchNorm statistics all-reduces (which make BN GLOBAL-batch under DP).
+    Anything else appearing here (e.g. a param all-gather per step) would
+    invalidate the scaling projection."""
+    import re
+
+    model, tx, audio, labels, noise = _setup()
+    mesh = make_data_mesh(8, "data")
+    state = create_train_state(model, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, 16, _AUG, donate=False, data_axis="data")
+    with jax.set_mesh(mesh):
+        state_r = replicate(mesh, state)
+        args_r = replicate(mesh, (audio, labels, noise))
+        txt = step.lower(state_r, jax.random.PRNGKey(1), *args_r).compile().as_text()
+
+    dt_bytes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1}
+    payloads = []
+    for line in txt.splitlines():
+        m = re.match(r"\s*%\S+ = (.*?) all-reduce(?:-start)?\(", line)
+        if not m:
+            continue
+        b = 0
+        for dt, dims in re.findall(r"(f32|bf16|s32|u32|pred)\[([0-9,]*)\]", m.group(1)):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            b += n * dt_bytes[dt]
+        payloads.append(b)
+
+    n_params = sum(int(np.asarray(p).size) for p in jax.tree.leaves(state.params))
+    grad_bytes = n_params * 4 + 8  # grads + loss/acc scalars fused in
+    assert grad_bytes in payloads, (payloads, grad_bytes)
+    # Everything else must be BN statistics: res8-narrow has 6 BN layers,
+    # each contributing (mean, meansq) forward + a backward pair of the
+    # same shape -> all tiny relative to the gradient payload.
+    rest = sorted(p for p in payloads if p != grad_bytes)
+    assert sum(rest) < 0.05 * grad_bytes, rest
+    total = sum(payloads)
+    # The total per-step collective payload is what SCALING.md's 2-host
+    # projection uses: params + <5% overhead.
+    assert total < 1.05 * grad_bytes
