@@ -27,6 +27,16 @@ DEFAULT_WORDS = ("yes", "no", "up", "down", "left", "right", "on", "off", "stop"
 UNKNOWN_WORDS = ("cat", "dog", "tree")
 
 
+def _write_recipe(root: str, recipe: dict) -> None:
+    """Record generator provenance at <root>/CORPUS.json (consumed by
+    scripts/make_zoo.py so committed artifacts cite a reproducible recipe
+    instead of a volatile corpus path)."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "CORPUS.json"), "w") as f:
+        json.dump(recipe, f, indent=2)
+        f.write("\n")
+
+
 def _word_signal(word_idx: int, speaker: int, n: int, sr: int, rng: np.random.Generator) -> np.ndarray:
     t = np.arange(sr) / sr
     # Word identity -> a deterministic, well-separated chord of 3 formants:
@@ -56,8 +66,21 @@ def generate_dataset(
     sr: int = 16000,
     seed: int = 0,
 ) -> str:
-    """Write the synthetic dataset under `root`; returns `root`."""
+    """Write the synthetic dataset under `root`; returns `root`.
+
+    NOTE: clip filenames use Python's salted ``hash()`` (kept for
+    compatibility with existing fixtures), so exact file names differ
+    between processes; use ``generate_hard_dataset`` when byte
+    reproducibility matters. The generator recipe is still recorded in
+    ``<root>/CORPUS.json`` for artifact provenance (zoo manifests).
+    """
     rng = np.random.default_rng(seed)
+    _write_recipe(root, {
+        "generator": "honk_tpu.data.synthetic.generate_dataset",
+        "words": list(words), "unknown_words": list(unknown_words),
+        "clips_per_word": clips_per_word, "n_speakers": n_speakers,
+        "noise_seconds": noise_seconds, "sr": sr, "seed": seed,
+    })
     for w_idx, word in enumerate(tuple(words) + tuple(unknown_words)):
         d = os.path.join(root, word)
         os.makedirs(d, exist_ok=True)
@@ -217,7 +240,7 @@ def generate_hard_dataset(
         ("pink_ish_noise.wav", lambda n: np.cumsum(0.01 * rng.standard_normal(n)) % 0.4 - 0.2),
     ]:
         write_wav(os.path.join(nd, name), gen(noise_seconds * sr), sr)
-    recipe = {
+    _write_recipe(root, {
         "generator": "honk_tpu.data.synthetic.generate_hard_dataset",
         "words": list(words),
         "unknown_words": list(unknown_words),
@@ -229,8 +252,5 @@ def generate_hard_dataset(
         "snr_db": list(snr_db),
         "speaker_spread": speaker_spread,
         "formant_jitter": formant_jitter,
-    }
-    with open(os.path.join(root, "CORPUS.json"), "w") as f:
-        json.dump(recipe, f, indent=2)
-        f.write("\n")
+    })
     return root
