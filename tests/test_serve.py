@@ -253,3 +253,28 @@ def test_label_service_batch_streamer(service):
     post = np.asarray(post)
     assert post.shape == (4, len(service.labels))
     np.testing.assert_allclose(post.sum(-1), 1.0, atol=1e-4)
+
+
+def test_stream_hub_slots_and_errors(service):
+    """Direct StreamHub unit coverage: slot exhaustion raises, close frees
+    the slot, pushes to unknown/closed sessions raise KeyError, and a
+    wrong-size chunk raises ValueError."""
+    from honk_tpu.serve import StreamHub
+
+    hub = StreamHub(service, n_slots=2, chunk_samples=3200)
+    a, b = hub.open(), hub.open()
+    with pytest.raises(RuntimeError):
+        hub.open()
+    rng = np.random.default_rng(1)
+    chunk = (rng.standard_normal(3200) * 0.1).astype(np.float32)
+    out = hub.push(a, chunk)
+    assert set(out) == {"posterior", "label", "prob", "events"}
+    with pytest.raises(ValueError):
+        hub.push(a, chunk[:100])
+    hub.close(a)
+    with pytest.raises(KeyError):
+        hub.push(a, chunk)
+    c = hub.open()  # freed slot is reusable
+    assert hub.push(c, chunk)["posterior"] == out["posterior"]  # fresh state
+    hub.close(b)
+    hub.close(c)
