@@ -123,8 +123,13 @@ def generate_dataset(
 #   (uniformly drawn from a range), on top of the train pipeline's own
 #   background-noise augmentation.
 #
-# Tuned (see runs/res8_hard_recipe_tpu.jsonl) so the 26-epoch reference
-# recipe lands res8 in the ~85-95% band instead of 1.0.
+# Default knobs tuned on the real TPU (scripts/hard_probe.py sweeps) so
+# the 26-epoch reference recipe on a 10.4k-clip corpus lands res8 around
+# ~90% dev accuracy (the 85-95% band) instead of 1.0: the 8% per-clip
+# formant jitter creates genuine class overlap (irreducible Bayes error
+# that more data cannot wash out — jitter 0.035 saturated at 0.9985 with
+# 10.4k clips), and per-clip SNR in [-3, 9] dB keeps the noise floor
+# binding. Committed rehearsal: runs/res8_hard_recipe_tpu.jsonl.
 # ---------------------------------------------------------------------------
 
 # (F1_start, F1_end, F2_start, F2_end) in Hz. Neighbouring rows share most
@@ -207,9 +212,9 @@ def generate_hard_dataset(
     noise_seconds: int = 30,
     sr: int = 16000,
     seed: int = 0,
-    snr_db: tuple[float, float] = (0.0, 12.0),
+    snr_db: tuple[float, float] = (-3.0, 9.0),
     speaker_spread: float = 0.15,
-    formant_jitter: float = 0.035,
+    formant_jitter: float = 0.08,
 ) -> str:
     """Write the hard-mode corpus under `root`; returns `root`.
 

@@ -39,6 +39,8 @@ def build_zoo(
     compute_dtype: str = "bfloat16",
     lr: tuple[float, ...] | None = None,
     schedule: tuple[int, ...] | None = None,
+    steps_per_call: int | None = None,
+    hard: bool = False,
 ) -> dict:
     import jax
 
@@ -49,7 +51,12 @@ def build_zoo(
     from honk_tpu.train import train
 
     if not os.path.isdir(os.path.join(data_dir, "yes")):
-        generate_dataset(data_dir)
+        if hard:
+            from honk_tpu.data import generate_hard_dataset
+
+            generate_hard_dataset(data_dir)
+        else:
+            generate_dataset(data_dir)
     dataset = load_speech_commands(data_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -107,6 +114,8 @@ def build_zoo(
             tkw["lr"] = tuple(lr)
         if schedule is not None:
             tkw["schedule"] = tuple(schedule)
+        if steps_per_call is not None:
+            tkw["steps_per_call"] = steps_per_call
         cfg = ExperimentConfig(
             data=DataConfig(data_dir=data_dir, seed=seed),
             train=TrainConfig(**tkw),
@@ -158,12 +167,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compute_dtype", choices=["bfloat16", "float32"], default="bfloat16")
     p.add_argument("--lr", type=float, nargs="+", default=None)
     p.add_argument("--schedule", type=int, nargs="*", default=None)
+    p.add_argument("--steps_per_call", type=int, default=None)
+    p.add_argument("--hard", action="store_true",
+                   help="generate a hard-mode corpus if data_dir is missing")
     args = p.parse_args(argv)
     build_zoo(
         args.out_dir, args.models, args.data_dir,
         args.n_epochs, args.batch_size, args.seed, args.compute_dtype,
         lr=tuple(args.lr) if args.lr is not None else None,
         schedule=tuple(args.schedule) if args.schedule is not None else None,
+        steps_per_call=args.steps_per_call,
+        hard=args.hard,
     )
     return 0
 
