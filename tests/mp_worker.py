@@ -26,6 +26,11 @@ import jax  # noqa: E402
 
 if PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
+else:
+    # sitecustomize pins jax_platforms to "axon,cpu", but under
+    # jax.distributed the tunnel platform is only registered under its
+    # canonical name "tpu" — the "axon" alias fails backend resolution.
+    jax.config.update("jax_platforms", "tpu,cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -111,7 +111,10 @@ def test_distributed_init_on_real_tpu(tmp_path):
         p.kill()  # exact child PID only (no pattern kills)
         pytest.fail("TPU worker timed out")
     if p.returncode == 42:
-        pytest.skip("no TPU reachable from this environment")
+        # On the dev box the TPU is an axon-tunnel PJRT plugin that does
+        # not register under a jax.distributed client (verified r3); on a
+        # real pod the canonical 'tpu' platform initializes normally.
+        pytest.skip("no TPU backend available under jax.distributed here")
     assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
 
     r = json.load(open(out))

@@ -60,3 +60,35 @@ def test_make_zoo_and_eval_pt(corpus, tmp_path, capsys):
     acc = float(line[-1].split(":")[1])
     # torch->flax round trip preserves the trained model's quality.
     assert abs(acc - entry["test_acc"]) < 0.15
+
+
+@pytest.mark.slow
+def test_committed_zoo_hard_artifacts_eval(tmp_path, capsys):
+    """The COMMITTED zoo_hard .pt artifacts must load through the
+    reference-style eval CLI and score well above chance on a freshly
+    generated hard corpus drawn from the recorded recipe distribution
+    (smaller clip count; seed 0 shares speaker parameters with the
+    training corpus, so accuracy should be near the trained level)."""
+    import json
+
+    from honk_tpu import data as D
+    from honk_tpu.cli.train import main as cli_main
+
+    with open("zoo_hard/MANIFEST.json") as f:
+        manifest = json.load(f)
+    assert manifest["split_sizes"]["test"] > 0
+    root = str(tmp_path / "hard")
+    rec = manifest["corpus_recipe"]
+    D.generate_hard_dataset(
+        root, clips_per_word=120, n_speakers=20, seed=rec["seed"],
+        snr_db=tuple(rec["snr_db"]), speaker_spread=rec["speaker_spread"],
+        formant_jitter=rec["formant_jitter"],
+    )
+    rc = cli_main([
+        "--type", "eval", "--model", "res8-narrow",
+        "--data_dir", root, "--input_file", "zoo_hard/res8-narrow.pt",
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if "final test accuracy:" in l]
+    acc = float(line[-1].split(":")[1])
+    assert acc > 0.6, f"committed artifact scored {acc}"
