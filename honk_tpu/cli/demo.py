@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--synth-keywords", nargs="*", default=["yes", "no", "stop"])
     p.add_argument("--hop-ms", type=int, default=200)
     p.add_argument("--threshold", type=float, default=0.6)
+    p.add_argument(
+        "--online", action="store_true",
+        help="drive the O(1)-state online Streamer chunk by chunk instead "
+        "of the offline batched path (same detection semantics)",
+    )
     args = p.parse_args(argv)
 
     from ..config import StreamConfig
@@ -71,7 +76,22 @@ def main(argv: list[str] | None = None) -> int:
     cfg = StreamConfig(
         hop_samples=args.hop_ms * 16, detection_threshold=args.threshold
     )
-    events = service.evaluate_long(audio, cfg)
+    if args.online:
+        from ..stream import Streamer, detect_stream
+
+        chunk = args.hop_ms * 16
+        s = Streamer(service.model, service.variables, cfg, chunk_samples=chunk)
+        state = s.reset()
+        series = []
+        for c in range(len(audio) // chunk):
+            state, post = s.process(state, audio[c * chunk : (c + 1) * chunk])
+            series.append(np.asarray(post))
+        events = [
+            {"time_s": e.time_s, "label": service.labels[e.label], "prob": e.score}
+            for e in detect_stream(np.stack(series), cfg, chunk)
+        ]
+    else:
+        events = service.evaluate_long(audio, cfg)
     for e in events:
         print(f"  {e['time_s']:6.2f}s  {e['label']:>10}  p={e['prob']:.2f}")
     print(f"{len(events)} detections over {len(audio)/16000:.1f}s audio")
