@@ -61,10 +61,19 @@ class Checkpointer:
 
     def latest_step(self) -> int | None:
         self._ckptr.wait_until_finished()
+        # Strict name match: a process killed mid-save leaves orbax's
+        # staging dir ("step_XXXXXXXX.orbax-checkpoint-tmp-<pid>") behind;
+        # the commit is an atomic rename, so anything not exactly
+        # "step_XXXXXXXX" is an uncommitted partial and must be ignored —
+        # resume falls back to the newest COMPLETE checkpoint (the
+        # crash-recovery tests kill training mid-run to assert this).
+        import re
+
         steps = [
-            int(d.split("_")[1])
+            int(m.group(1))
             for d in os.listdir(self.directory)
-            if d.startswith("step_") and os.path.isdir(os.path.join(self.directory, d))
+            if (m := re.fullmatch(r"step_(\d{8})", d))
+            and os.path.isdir(os.path.join(self.directory, d))
         ]
         return max(steps) if steps else None
 

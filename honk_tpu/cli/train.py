@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="ckpts/run", help="checkpoint directory")
     p.add_argument("--metrics_jsonl", default="", help="JSONL metrics sink path")
     p.add_argument(
+        "--save_every_epochs", type=int, default=5,
+        help="epochs between periodic step checkpoints (crash recovery)",
+    )
+    p.add_argument(
         "--profile-dir", default="",
         help="capture a jax.profiler trace of the first train dispatch here",
     )
@@ -123,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             cfg,
             logger=logger,
             checkpoint_dir=args.output_dir,
+            save_every_epochs=args.save_every_epochs,
             profile_dir=args.profile_dir or None,
         )
         import jax

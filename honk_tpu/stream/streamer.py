@@ -268,23 +268,34 @@ class BatchStreamer:
         self.n_labels = self._single.n_labels
         vstep = jax.vmap(self._single._step_impl)
 
-        def step(state: StreamState, chunks: jax.Array, mask: jax.Array):
+        def _constrain(state, chunks):
             if data_axis is not None:
                 from jax.sharding import PartitionSpec as P
 
-                constrain = lambda x: jax.lax.with_sharding_constraint(x, P(data_axis))
-                state = jax.tree.map(constrain, state)
-                chunks = constrain(chunks)
+                c = lambda x: jax.lax.with_sharding_constraint(x, P(data_axis))
+                state = jax.tree.map(c, state)
+                chunks = c(chunks)
+            return state, chunks
+
+        def step_all(state: StreamState, chunks: jax.Array):
+            state, chunks = _constrain(state, chunks)
+            return vstep(state, chunks)
+
+        def step_masked(state: StreamState, chunks: jax.Array, mask: jax.Array):
+            state, chunks = _constrain(state, chunks)
             new_state, post = vstep(state, chunks)
             # Inactive slots (mask False) keep their previous state verbatim:
             # session-based serving (serve/streams.py) advances only the
             # slots whose sessions pushed a chunk this dispatch, in ONE
-            # compiled program over the whole slab.
+            # compiled program over the whole slab. The unmasked all-slots
+            # path above stays select-free so full-slab serving pays zero
+            # masking overhead.
             sel = lambda n, o: jnp.where(mask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
             return jax.tree.map(sel, new_state, state), jnp.where(mask[:, None], post, 0.0)
 
         # Donate the state: serving holds exactly one live state per call.
-        self._step = jax.jit(step, donate_argnums=(0,))
+        self._step_all = jax.jit(step_all, donate_argnums=(0,))
+        self._step_masked = jax.jit(step_masked, donate_argnums=(0,))
 
     def reset(self) -> StreamState:
         single = self._single.reset()
@@ -305,7 +316,7 @@ class BatchStreamer:
         """
         assert chunks.shape == (self.n_streams, self.chunk), chunks.shape
         if mask is None:
-            mask = np.ones((self.n_streams,), bool)
-        return self._step(
+            return self._step_all(state, jnp.asarray(chunks, jnp.float32))
+        return self._step_masked(
             state, jnp.asarray(chunks, jnp.float32), jnp.asarray(mask, bool)
         )

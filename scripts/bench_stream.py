@@ -52,7 +52,7 @@ def main() -> None:
         (rng.standard_normal((ll, n_streams, chunk)) * 0.1).astype(np.float32)
     )
 
-    step = bs._step  # jit-ed (state, chunks) -> (state, smoothed)
+    step = bs._step_all  # jit-ed select-free (state, chunks) -> (state, smoothed)
 
     # Serving-shaped measurement: T back-to-back step dispatches (that IS
     # the production call pattern — a serving loop can't scan-fold chunks
