@@ -11,6 +11,7 @@ demo — reconstructed [中], SURVEY.md §2.1). Endpoints:
     GET  /labels   -> {"labels": [...]}
     POST /stream/open  {"chunk_samples"?}        -> {"stream_id", "chunk_samples"}
     POST /stream/push  {"stream_id","wav_data"}  -> {"posterior","label","prob","events"}
+    POST /stream/push_many {"chunks": {sid: wav_data}} -> {"results": {sid: ...}}
     POST /stream/close {"stream_id"}             -> {"events"}
 
 stdlib http.server only (no extra deps). The server is THREADED
@@ -114,6 +115,14 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
                 elif self.path == "/stream/push":
                     chunk = _decode_pcm16(payload["wav_data"])
                     self._send(200, hub.push(payload["stream_id"], chunk))
+                elif self.path == "/stream/push_many":
+                    # Batched tick: {"chunks": {stream_id: <b64 pcm16>}} —
+                    # ONE masked slab dispatch advances every listed session.
+                    chunks = {
+                        sid: _decode_pcm16(b64)
+                        for sid, b64 in payload["chunks"].items()
+                    }
+                    self._send(200, {"results": hub.push_many(chunks)})
                 elif self.path == "/stream/close":
                     self._send(200, hub.close(payload["stream_id"]))
                 else:

@@ -85,37 +85,54 @@ class StreamHub:
     def push(self, sid: str, chunk: np.ndarray) -> dict[str, Any]:
         """Advance one session by one chunk; returns posterior + new events.
 
-        Each push dispatches one masked slab step. (Chunks arriving for
-        several sessions within one server tick could be coalesced into a
-        single dispatch via the same mask — the HTTP layer here pushes per
-        request, which already batches N clients' *model* work into the
-        shared compiled program rather than N distinct programs.)
+        One masked slab dispatch per call; use ``push_many`` to advance
+        several sessions in a single dispatch (the batched serving path).
+        """
+        return self.push_many({sid: chunk})[sid]
+
+    def push_many(self, chunks_by_sid: dict[str, np.ndarray]) -> dict[str, dict[str, Any]]:
+        """Advance SEVERAL sessions with ONE masked slab dispatch.
+
+        This is the batched serving path over HTTP: a gateway holding N
+        client connections posts one chunk per session per tick and the
+        whole tick costs a single compiled step over the slab (the model
+        sees one (n_slots, 101, 40) batch) instead of N dispatches.
+        Returns {sid: {posterior, label, prob, events}}.
         """
         with self._lock:
-            sess = self._sessions.get(sid)
-            if sess is None:
-                raise KeyError(f"unknown stream_id {sid!r}")
-            if chunk.shape != (self.chunk,):
-                raise ValueError(f"chunk must be {self.chunk} samples, got {chunk.shape}")
+            sessions = []
             chunks = np.zeros((self.n_slots, self.chunk), np.float32)
-            chunks[sess.slot] = chunk
             mask = np.zeros((self.n_slots,), bool)
-            mask[sess.slot] = True
+            for sid, chunk in chunks_by_sid.items():
+                sess = self._sessions.get(sid)
+                if sess is None:
+                    raise KeyError(f"unknown stream_id {sid!r}")
+                if chunk.shape != (self.chunk,):
+                    raise ValueError(
+                        f"chunk must be {self.chunk} samples, got {chunk.shape}"
+                    )
+                chunks[sess.slot] = chunk
+                mask[sess.slot] = True
+                sessions.append(sess)
+            if not sessions:
+                return {}
             self._state, post = self._bs.process(self._state, chunks, mask)
-            smoothed = np.asarray(post[sess.slot])
-            sess.series.append(smoothed)
-            # Incremental detection: rerun the event scan over this
-            # session's series (cheap, host-side) and emit only new events.
-            all_events = detect_stream(np.stack(sess.series), self.cfg, self.chunk)
-            new = all_events[len(sess.events) :]
-            sess.events = all_events
-            idx = int(smoothed.argmax())
-            return {
-                "posterior": [round(float(p), 6) for p in smoothed],
-                "label": self.labels[idx],
-                "prob": float(smoothed[idx]),
-                "events": [self._event_json(e) for e in new],
-            }
+            post = np.asarray(post)
+            out = {}
+            for sess in sessions:
+                smoothed = post[sess.slot]
+                sess.series.append(smoothed)
+                all_events = detect_stream(np.stack(sess.series), self.cfg, self.chunk)
+                new = all_events[len(sess.events) :]
+                sess.events = all_events
+                idx = int(smoothed.argmax())
+                out[sess.sid] = {
+                    "posterior": [round(float(p), 6) for p in smoothed],
+                    "label": self.labels[idx],
+                    "prob": float(smoothed[idx]),
+                    "events": [self._event_json(e) for e in new],
+                }
+            return out
 
     def close(self, sid: str) -> dict[str, Any]:
         with self._lock:

@@ -361,3 +361,58 @@ def test_training_survives_sigkill_and_resumes(tmp_path):
     if killed:
         resumes = [r for r in rows if r["kind"] == "resume"]
         assert resumes and resumes[-1]["epoch"] > 0, "second run must resume, not restart"
+
+
+def test_stream_push_many_matches_individual_pushes(service):
+    """The coalesced batched tick (one masked dispatch for N sessions)
+    must produce exactly the same posteriors/events as advancing each
+    session with its own push — including over HTTP."""
+    from honk_tpu.config import StreamConfig
+    from honk_tpu.serve import StreamHub
+
+    scfg = StreamConfig(smoothing_window=3)
+    rng = np.random.default_rng(21)
+    n, chunk, ticks = 3, 3200, 4
+    audio = (rng.standard_normal((n, ticks * chunk)) * 0.1).astype(np.float32)
+
+    hub_a = StreamHub(service, n_slots=4, cfg=scfg, chunk_samples=chunk)
+    hub_b = StreamHub(service, n_slots=4, cfg=scfg, chunk_samples=chunk)
+    sids_a = [hub_a.open() for _ in range(n)]
+    sids_b = [hub_b.open() for _ in range(n)]
+    for t in range(ticks):
+        batched = hub_a.push_many(
+            {sids_a[i]: audio[i, t * chunk : (t + 1) * chunk] for i in range(n)}
+        )
+        for i in range(n):
+            single = hub_b.push(sids_b[i], audio[i, t * chunk : (t + 1) * chunk])
+            np.testing.assert_allclose(
+                batched[sids_a[i]]["posterior"], single["posterior"], atol=1e-5
+            )
+
+    # And over HTTP: one /stream/push_many call advances all sessions;
+    # posteriors must match a fresh hub advanced directly (modulo int16
+    # quantization of the HTTP chunk payload).
+    hub_c = StreamHub(service, n_slots=4, cfg=scfg, chunk_samples=chunk)
+    sids_c = [hub_c.open() for _ in range(n)]
+    ref = hub_c.push_many({sids_c[i]: audio[i, :chunk] for i in range(n)})
+
+    httpd = serve(service, port=0, enable_training=False, n_stream_slots=4, stream_cfg=scfg)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        sids = [_post(port, "/stream/open", {})["stream_id"] for _ in range(n)]
+        payload = {}
+        for i in range(n):
+            pcm = (audio[i, :chunk] * 32767).astype("<i2").tobytes()
+            payload[sids[i]] = base64.b64encode(pcm).decode()
+        out = _post(port, "/stream/push_many", {"chunks": payload})
+        assert set(out["results"]) == set(sids)
+        for i in range(n):
+            np.testing.assert_allclose(
+                out["results"][sids[i]]["posterior"],
+                ref[sids_c[i]]["posterior"],
+                atol=2e-3,
+            )
+    finally:
+        httpd.shutdown()
