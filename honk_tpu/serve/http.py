@@ -39,6 +39,54 @@ def _decode_pcm16(b64: str) -> np.ndarray:
     return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
 
 
+# Minimal single-file browser demo (equivalent of the reference's web
+# demo page): mic -> 1 s capture -> 16 kHz PCM16 -> POST /listen.
+_DEMO_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>honk_tpu demo</title><style>
+body{font-family:system-ui,sans-serif;max-width:40rem;margin:3rem auto;padding:0 1rem}
+button{font-size:1.2rem;padding:.6rem 1.4rem;cursor:pointer}
+#out{font-size:2rem;margin-top:1rem}</style></head><body>
+<h1>honk_tpu keyword spotting</h1>
+<p>Known labels: <code id="labels"></code></p>
+<button id="rec">record 1 s</button>
+<div id="out"></div>
+<script>
+const LABELS = __LABELS__;
+document.getElementById('labels').textContent = LABELS.join(', ');
+const out = document.getElementById('out');
+document.getElementById('rec').onclick = async () => {
+  out.textContent = 'listening...';
+  try {
+    const stream = await navigator.mediaDevices.getUserMedia({audio: true});
+    const ctx = new AudioContext();
+    const src = ctx.createMediaStreamSource(stream);
+    const proc = ctx.createScriptProcessor(4096, 1, 1);
+    const samples = [];
+    proc.onaudioprocess = e => samples.push(...e.inputBuffer.getChannelData(0));
+    src.connect(proc); proc.connect(ctx.destination);
+    await new Promise(r => setTimeout(r, 1100));
+    proc.disconnect(); src.disconnect();
+    stream.getTracks().forEach(t => t.stop());
+    // naive resample to 16 kHz + PCM16
+    const ratio = ctx.sampleRate / 16000;
+    const pcm = new Int16Array(16000);
+    for (let i = 0; i < 16000; i++) {
+      const v = samples[Math.floor(i * ratio)] || 0;
+      pcm[i] = Math.max(-32768, Math.min(32767, Math.round(v * 32767)));
+    }
+    const b64 = btoa(String.fromCharCode(...new Uint8Array(pcm.buffer)));
+    const resp = await fetch('/listen', {method: 'POST',
+      headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify({wav_data: b64, method: 'all'})});
+    const j = await resp.json();
+    out.textContent = j.contains_command ? `\\u2192 ${j.label} (p=${j.prob.toFixed(2)})`
+                                         : `(${j.label}, p=${j.prob.toFixed(2)})`;
+  } catch (err) { out.textContent = 'error: ' + err; }
+};
+</script></body></html>
+"""
+
+
 def make_handler(service: LabelService, trainer: TrainingService | None, hub: StreamHub | None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj: dict[str, Any]) -> None:
@@ -52,6 +100,16 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
         def do_GET(self):
             if self.path == "/labels":
                 self._send(200, {"labels": service.labels})
+            elif self.path in ("/", "/index.html"):
+                # Browser demo page (reference web-demo parity): records
+                # 1 s from the microphone, downsamples to 16 kHz PCM16,
+                # POSTs to /listen and shows the label.
+                body = _DEMO_HTML.replace("__LABELS__", json.dumps(service.labels)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown endpoint"})
 

@@ -416,3 +416,19 @@ def test_stream_push_many_matches_individual_pushes(service):
             )
     finally:
         httpd.shutdown()
+
+
+def test_http_demo_page(service):
+    """GET / serves the browser demo page with the service's labels."""
+    httpd = serve(service, port=0, enable_training=False, n_stream_slots=0)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        assert "honk_tpu" in page and "/listen" in page
+        assert json.dumps(service.labels) in page
+    finally:
+        httpd.shutdown()
