@@ -139,10 +139,16 @@ def stream_file(
     variables: dict[str, Any],
     audio: np.ndarray,
     cfg: StreamConfig | None = None,
+    data_axis: str | None = None,
 ) -> tuple[np.ndarray, list[Detection]]:
     """Offline continuous detection over a long mono waveform.
 
     Returns (smoothed posteriors (n_windows, n_labels), detections).
+
+    With ``data_axis`` set (and an ambient mesh), the window batch is
+    sharded across the mesh — hours of audio score data-parallel over a
+    pod slice (windows are padded to a mesh multiple, classified, and
+    the padding dropped; results are identical to the unsharded path).
     """
     cfg = cfg or StreamConfig()
     hop_frames = cfg.hop_samples // HOP
@@ -152,8 +158,20 @@ def stream_file(
     n_windows = max(0, (n_frames - WINDOW_FRAMES) // hop_frames + 1)
     if n_windows == 0:
         return np.zeros((0, 1)), []
+    n_padded = n_windows
+    if data_axis is not None:
+        n_dev = jax.device_count()
+        n_padded = -(-n_windows // n_dev) * n_dev
     windows = _window_gather(feats, hop_frames, n_windows)
-    logits = model.apply(variables, windows, train=False)
+    if n_padded != n_windows:
+        windows = jnp.concatenate(
+            [windows, jnp.zeros((n_padded - n_windows,) + windows.shape[1:], windows.dtype)]
+        )
+    if data_axis is not None:
+        from jax.sharding import PartitionSpec as P
+
+        windows = jax.lax.with_sharding_constraint(windows, P(data_axis))
+    logits = model.apply(variables, windows, train=False)[:n_windows]
     post = jax.nn.softmax(logits, axis=-1)
     smoothed = np.asarray(smooth_posteriors(post, cfg.smoothing_window))
     hop_s = cfg.hop_samples / F.SAMPLE_RATE

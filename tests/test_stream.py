@@ -234,3 +234,26 @@ def test_batch_streamer_shards_across_mesh(model_and_vars):
     assert np.isfinite(np.asarray(post)).all()
     devices = {s.device for s in state.feat_ring.addressable_shards}
     assert len(devices) == 8, f"stream state on {len(devices)} devices"
+
+
+def test_stream_file_sharded_matches_unsharded(model_and_vars):
+    """Offline long-audio scoring with the window batch sharded over the
+    8-device mesh must equal the unsharded result (padding windows are
+    dropped; window count deliberately not a mesh multiple)."""
+    from honk_tpu.parallel import make_data_mesh, replicate
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(31)
+    audio = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)  # 21 windows
+    cfg = StreamConfig(hop_samples=3200, smoothing_window=3)
+    base, base_events = stream_file(model, variables, audio, cfg)
+    mesh = make_data_mesh(8, "data")
+    with jax.set_mesh(mesh):
+        sharded, sharded_events = stream_file(
+            model, replicate(mesh, variables), audio, cfg, data_axis="data"
+        )
+    assert base.shape == sharded.shape
+    np.testing.assert_allclose(sharded, base, atol=1e-5)
+    assert [(e.time_s, e.label) for e in sharded_events] == [
+        (e.time_s, e.label) for e in base_events
+    ]
