@@ -87,11 +87,19 @@ class LabelService:
         return [(self.labels[int(i)], float(p[int(i)])) for i, p in zip(idx, probs)]
 
     def evaluate_long(
-        self, audio: np.ndarray, stream_cfg: StreamConfig | None = None
+        self,
+        audio: np.ndarray,
+        stream_cfg: StreamConfig | None = None,
+        data_axis: str | None = None,
     ) -> list[dict[str, Any]]:
-        """Continuous detection over long audio; returns detection events."""
+        """Continuous detection over long audio; returns detection events.
+
+        ``data_axis`` + an ambient mesh shards the window batch across
+        chips (see stream_file) for pod-scale offline scoring.
+        """
         smoothed, events = stream_file(
-            self.model, self.variables, np.asarray(audio, np.float32), stream_cfg
+            self.model, self.variables, np.asarray(audio, np.float32), stream_cfg,
+            data_axis=data_axis,
         )
         return [
             {"time_s": e.time_s, "label": self.labels[e.label], "prob": e.score}
