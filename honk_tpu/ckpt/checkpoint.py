@@ -72,7 +72,7 @@ class Checkpointer:
         steps = [
             int(m.group(1))
             for d in os.listdir(self.directory)
-            if (m := re.fullmatch(r"step_(\d{8})", d))
+            if (m := re.fullmatch(r"step_(\d{8,})", d))
             and os.path.isdir(os.path.join(self.directory, d))
         ]
         return max(steps) if steps else None

@@ -77,19 +77,20 @@ def main(argv: list[str] | None = None) -> int:
         hop_samples=args.hop_ms * 16, detection_threshold=args.threshold
     )
     if args.online:
-        from ..stream import Streamer, detect_stream
+        from ..stream import StreamDetector, Streamer
 
         chunk = args.hop_ms * 16
         s = Streamer(service.model, service.variables, cfg, chunk_samples=chunk)
         state = s.reset()
-        series = []
+        det = StreamDetector(cfg, chunk)  # O(1) incremental detection
+        events = []
         for c in range(len(audio) // chunk):
             state, post = s.process(state, audio[c * chunk : (c + 1) * chunk])
-            series.append(np.asarray(post))
-        events = [
-            {"time_s": e.time_s, "label": service.labels[e.label], "prob": e.score}
-            for e in detect_stream(np.stack(series), cfg, chunk)
-        ]
+            e = det.step(np.asarray(post))
+            if e is not None:
+                events.append(
+                    {"time_s": e.time_s, "label": service.labels[e.label], "prob": e.score}
+                )
     else:
         events = service.evaluate_long(audio, cfg)
     for e in events:

@@ -74,7 +74,14 @@ document.getElementById('rec').onclick = async () => {
       const v = samples[Math.floor(i * ratio)] || 0;
       pcm[i] = Math.max(-32768, Math.min(32767, Math.round(v * 32767)));
     }
-    const b64 = btoa(String.fromCharCode(...new Uint8Array(pcm.buffer)));
+    // Chunked binary->string: spreading 32k args onto the call stack
+    // (String.fromCharCode(...bytes)) overflows some engines' argument
+    // limits and throws RangeError intermittently.
+    const bytes = new Uint8Array(pcm.buffer);
+    let bin = '';
+    for (let o = 0; o < bytes.length; o += 8192)
+      bin += String.fromCharCode.apply(null, bytes.subarray(o, o + 8192));
+    const b64 = btoa(bin);
     const resp = await fetch('/listen', {method: 'POST',
       headers: {'Content-Type': 'application/json'},
       body: JSON.stringify({wav_data: b64, method: 'all'})});
@@ -158,6 +165,12 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
                     return
                 result = trainer.fine_tune(positives, target)
                 service.variables = result["variables"]
+                if hub is not None:
+                    # Keep stream sessions consistent with /listen: the
+                    # hub's slab takes weights as a traced argument, so
+                    # the swap reaches open AND future sessions from
+                    # their next chunk, with no recompile.
+                    hub.set_variables(result["variables"])
                 self._send(200, {"final_loss": result["final_loss"]})
             else:
                 self._send(404, {"error": "unknown endpoint"})

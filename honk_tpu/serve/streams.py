@@ -14,10 +14,21 @@ Protocol (wired into serve/http.py):
     POST /stream/push  {"stream_id", "wav_data"}   -> {"posterior", "label", "prob", "events"}
     POST /stream/close {"stream_id"}               -> {"events": [...all session events]}
 
-Each session's smoothed posteriors are thresholded host-side with the
-same ``detect``/``detect_stream`` semantics as the offline path; the
-planted-keyword tests assert N concurrent HTTP sessions produce exactly
-the events of N independent ``Streamer`` runs.
+Each session's smoothed posteriors are thresholded host-side with an
+INCREMENTAL ``StreamDetector`` (O(1) state per session — the same
+``detect_step`` cursor the offline ``detect`` loops over, so a session's
+event stream is byte-identical to re-running ``detect_stream`` on the
+full posterior history, which the tests assert, without the O(n) memory /
+O(n^2) cumulative compute of a recompute per push).
+
+Concurrency: the hub lock is held only for session bookkeeping and the
+slab DISPATCH (JAX dispatch is async — enqueueing the step costs
+microseconds); the device-result fetch, the expensive part of a push,
+happens OUTSIDE the lock, so concurrent HTTP ticks overlap their device
+waits instead of serializing on one big lock. Per-session event order is
+preserved by a dispatch ticket: each push applies its detector updates
+only after the session's previous dispatch has applied (condition
+variable), so out-of-order thread wakeups cannot reorder events.
 """
 
 from __future__ import annotations
@@ -31,18 +42,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import StreamConfig
-from ..stream import detect_stream
+from ..stream import StreamDetector
 from ..stream.streamer import Detection
 
 
 class StreamSession:
-    __slots__ = ("sid", "slot", "series", "events")
+    __slots__ = ("sid", "slot", "detector", "events", "pending_ticket", "applied_ticket")
 
-    def __init__(self, sid: str, slot: int):
+    def __init__(self, sid: str, slot: int, detector: StreamDetector):
         self.sid = sid
         self.slot = slot
-        self.series: list[np.ndarray] = []  # smoothed posterior per chunk
+        self.detector = detector  # O(1) incremental event detection
         self.events: list[Detection] = []
+        # Dispatch-order bookkeeping (see push_many): ticket of the latest
+        # dispatch touching this session / of the latest one applied.
+        self.pending_ticket = 0
+        self.applied_ticket = 0
 
 
 class StreamHub:
@@ -67,10 +82,21 @@ class StreamHub:
         self._free = list(range(n_slots))
         self._sessions: dict[str, StreamSession] = {}
         self._lock = threading.Lock()
+        self._apply_cv = threading.Condition()
+        self._next_ticket = 1
         # Zero one slot of every state leaf (slot reuse after close).
         self._reset_slot = jax.jit(
             lambda state, i: jax.tree.map(lambda x: x.at[i].set(jnp.zeros_like(x[i])), state)
         )
+
+    def set_variables(self, variables) -> None:
+        """Swap the slab's model weights (personalization via /train).
+
+        Takes effect from the next dispatch; no recompile (the weights are
+        a traced argument of the slab step, see BatchStreamer).
+        """
+        with self._lock:
+            self._bs.set_variables(variables)
 
     def open(self) -> str:
         with self._lock:
@@ -79,7 +105,9 @@ class StreamHub:
             slot = self._free.pop()
             sid = uuid.uuid4().hex[:12]
             self._state = self._reset_slot(self._state, slot)
-            self._sessions[sid] = StreamSession(sid, slot)
+            self._sessions[sid] = StreamSession(
+                sid, slot, StreamDetector(self.cfg, self.chunk)
+            )
             return sid
 
     def push(self, sid: str, chunk: np.ndarray) -> dict[str, Any]:
@@ -116,15 +144,32 @@ class StreamHub:
                 sessions.append(sess)
             if not sessions:
                 return {}
+            # Async dispatch: enqueues the compiled step and returns device
+            # futures without waiting for the result.
             self._state, post = self._bs.process(self._state, chunks, mask)
-            post = np.asarray(post)
-            out = {}
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            predecessor = {}
+            for sess in sessions:
+                predecessor[sess.sid] = sess.pending_ticket
+                sess.pending_ticket = ticket
+        # Device wait OUTSIDE the lock: other threads can validate,
+        # dispatch the next tick, or open/close sessions meanwhile.
+        post = np.asarray(post)
+        out = {}
+        with self._apply_cv:
+            for sess in sessions:
+                # Dispatches touching a session apply in dispatch order;
+                # tickets are totally ordered, so waiting on a strictly
+                # smaller predecessor ticket cannot deadlock.
+                while sess.applied_ticket != predecessor[sess.sid]:
+                    self._apply_cv.wait()
             for sess in sessions:
                 smoothed = post[sess.slot]
-                sess.series.append(smoothed)
-                all_events = detect_stream(np.stack(sess.series), self.cfg, self.chunk)
-                new = all_events[len(sess.events) :]
-                sess.events = all_events
+                e = sess.detector.step(smoothed)
+                new = [e] if e is not None else []
+                sess.events.extend(new)
+                sess.applied_ticket = ticket
                 idx = int(smoothed.argmax())
                 out[sess.sid] = {
                     "posterior": [round(float(p), 6) for p in smoothed],
@@ -132,15 +177,24 @@ class StreamHub:
                     "prob": float(smoothed[idx]),
                     "events": [self._event_json(e) for e in new],
                 }
-            return out
+            self._apply_cv.notify_all()
+        return out
 
     def close(self, sid: str) -> dict[str, Any]:
         with self._lock:
             sess = self._sessions.pop(sid, None)
             if sess is None:
                 raise KeyError(f"unknown stream_id {sid!r}")
+            pending = sess.pending_ticket
+        # Wait for in-flight dispatches that captured this session before
+        # recycling its slot (their slab writes would otherwise land in a
+        # successor session's freshly reset state).
+        with self._apply_cv:
+            while sess.applied_ticket != pending:
+                self._apply_cv.wait()
+        with self._lock:
             self._free.append(sess.slot)
-            return {"events": [self._event_json(e) for e in sess.events]}
+        return {"events": [self._event_json(e) for e in sess.events]}
 
     def _event_json(self, e: Detection) -> dict[str, Any]:
         return {"time_s": round(e.time_s, 3), "label": self.labels[e.label], "prob": round(e.score, 4)}

@@ -85,33 +85,97 @@ class Detection:
     score: float
 
 
+@dataclasses.dataclass
+class DetectorState:
+    """O(1) cursor for incremental event detection.
+
+    Carries exactly the state ``detect`` threads through its loop: the
+    window index and the last fire index. A long-lived serving session
+    advances this one smoothed row at a time (``detect_step``) and gets
+    byte-identical events to re-running ``detect`` over the full series.
+    """
+
+    i: int = 0
+    last_fire: int = -(10**9)
+
+
+def detect_step(
+    probs: np.ndarray, st: DetectorState, cfg: StreamConfig, hop_s: float
+) -> Detection | None:
+    """Advance the detector by ONE smoothed posterior row.
+
+    Event semantics (shared by ``detect``/``detect_stream`` and the
+    serving hub — tests/test_stream.py pins them):
+
+    - A detection fires only when a keyword label is BOTH the overall
+      argmax of the smoothed posterior AND above ``detection_threshold``.
+      Requiring the overall argmax means windows where ``__silence__``/
+      ``__unknown__`` carries most of the mass cannot fire a
+      low-confidence keyword — this keeps the false-alarm rate on
+      noise-only spans at zero (ground-truth planted-keyword tests).
+    - The refractory gap ``min_gap_windows`` is GLOBAL: after any fire,
+      nothing fires for the next ``min_gap_windows - 1`` windows,
+      regardless of label. Smoothed posteriors are correlated over one
+      window length (1 s), so an argmax flip inside the gap (default
+      4 x 200 ms = 0.8 s < the 1 s window) is almost surely the same
+      acoustic event being re-read, not a new keyword — firing it would
+      let two labels alternating above threshold emit an event per
+      window. Distinct keywords >= the gap apart each fire (tested).
+
+    ``time_s`` is the START of the 1 s detection window.
+    """
+    i = st.i
+    st.i += 1
+    label = int(probs.argmax())
+    if label < 2:  # silence/unknown wins the window -> no detection
+        return None
+    score = float(probs[label])
+    if score < cfg.detection_threshold:
+        return None
+    if i - st.last_fire < cfg.min_gap_windows:
+        return None
+    st.last_fire = i
+    return Detection(time_s=i * hop_s, label=label, score=score)
+
+
 def detect(smoothed: np.ndarray, cfg: StreamConfig, hop_s: float) -> list[Detection]:
     """Threshold smoothed posteriors into detection events (host-side).
 
-    A detection fires only when a keyword label is BOTH the overall argmax
-    of the smoothed posterior AND above ``detection_threshold``. Requiring
-    the overall argmax (not just the best keyword) means windows where
-    ``__silence__``/``__unknown__`` carries most of the mass cannot fire a
-    low-confidence keyword — this is what keeps the false-alarm rate on
-    noise-only spans at zero (asserted by the ground-truth planted-keyword
-    tests in tests/test_stream.py). ``time_s`` is the START of the 1 s
-    detection window.
+    Batch form of ``detect_step`` (same code path — see its docstring for
+    the event semantics).
     """
+    st = DetectorState()
     events: list[Detection] = []
-    last_fire = -(10**9)
-    last_label = -1
     for i in range(smoothed.shape[0]):
-        probs = smoothed[i]
-        label = int(probs.argmax())
-        if label < 2:  # silence/unknown wins the window -> no detection
-            continue
-        score = float(probs[label])
-        if score >= cfg.detection_threshold:
-            if i - last_fire >= cfg.min_gap_windows or label != last_label:
-                events.append(Detection(time_s=i * hop_s, label=label, score=score))
-                last_fire = i
-                last_label = label
+        e = detect_step(smoothed[i], st, cfg, hop_s)
+        if e is not None:
+            events.append(e)
     return events
+
+
+class StreamDetector:
+    """Incremental ONLINE detector: one smoothed row per chunk, O(1) state.
+
+    Wraps ``detect_step`` with the same window-start time shift as
+    ``detect_stream`` so a serving session that feeds each ``Streamer``
+    posterior as it arrives emits byte-identical events to re-running
+    ``detect_stream`` over the whole accumulated series (tested) — without
+    the O(n) memory / O(n^2) cumulative compute of the recompute.
+    """
+
+    def __init__(self, cfg: StreamConfig, chunk_samples: int):
+        self.cfg = cfg
+        self.hop_s = chunk_samples / F.SAMPLE_RATE
+        self._shift = self.hop_s - WINDOW_FRAMES * HOP / F.SAMPLE_RATE
+        self._st = DetectorState()
+
+    def step(self, probs: np.ndarray) -> Detection | None:
+        e = detect_step(probs, self._st, self.cfg, self.hop_s)
+        if e is None:
+            return None
+        return Detection(
+            time_s=max(0.0, e.time_s + self._shift), label=e.label, score=e.score
+        )
 
 
 def detect_stream(
@@ -160,7 +224,12 @@ def stream_file(
         return np.zeros((0, 1)), []
     n_padded = n_windows
     if data_axis is not None:
-        n_dev = jax.device_count()
+        # Pad to a multiple of the AMBIENT MESH's data-axis size, not
+        # jax.device_count(): under a sub-mesh (or any mesh whose named
+        # axis size doesn't divide the process's device count) the two
+        # differ and a device-count pad would not shard evenly.
+        mesh_shape = dict(jax.sharding.get_abstract_mesh().shape)
+        n_dev = mesh_shape.get(data_axis, jax.device_count())
         n_padded = -(-n_windows // n_dev) * n_dev
     windows = _window_gather(feats, hop_frames, n_windows)
     if n_padded != n_windows:
@@ -207,6 +276,13 @@ class Streamer:
         self.n_labels = int(model.config["n_labels"])
         self._step = jax.jit(self._step_impl)
 
+    def set_variables(self, variables) -> None:
+        """Swap model weights for subsequent steps (e.g. after /train
+        personalization). The weights are a traced ARGUMENT of the jitted
+        step, not a baked-in constant, so the swap takes effect on the
+        next chunk with no recompile (same shapes)."""
+        self.variables = variables
+
     def reset(self) -> StreamState:
         return StreamState(
             sample_tail=jnp.zeros((NFFT,), jnp.float32),
@@ -216,7 +292,7 @@ class Streamer:
             windows_seen=jnp.zeros((), jnp.int32),
         )
 
-    def _step_impl(self, state: StreamState, chunk: jax.Array):
+    def _step_impl(self, variables, state: StreamState, chunk: jax.Array):
         # Assemble [tail | chunk]; new frames start inside the tail so each
         # 480-sample frame has full left context (no center padding online —
         # a causal 30 ms latency instead).
@@ -229,7 +305,7 @@ class Streamer:
         feat_ring = jnp.roll(state.feat_ring, -self.n_new, axis=0)
         feat_ring = feat_ring.at[-self.n_new :].set(new_feats)
 
-        logits = self.model.apply(self.variables, feat_ring[None], train=False)[0]
+        logits = self.model.apply(variables, feat_ring[None], train=False)[0]
         post = jax.nn.softmax(logits)
         post_ring = jnp.roll(state.post_ring, -1, axis=0).at[-1].set(post)
 
@@ -253,7 +329,7 @@ class Streamer:
     def process(self, state: StreamState, chunk: np.ndarray) -> tuple[StreamState, np.ndarray]:
         """Feed one chunk; returns (state, smoothed posterior (n_labels,))."""
         assert chunk.shape == (self.chunk,)
-        return self._step(state, jnp.asarray(chunk, jnp.float32))
+        return self._step(self.variables, state, jnp.asarray(chunk, jnp.float32))
 
 
 class BatchStreamer:
@@ -284,7 +360,10 @@ class BatchStreamer:
         self.n_streams = n_streams
         self.chunk = chunk_samples
         self.n_labels = self._single.n_labels
-        vstep = jax.vmap(self._single._step_impl)
+        # Weights broadcast (in_axes=None): one copy serves every stream,
+        # and — as a traced argument — can be swapped without recompiling
+        # (set_variables; /train personalization reaches live sessions).
+        vstep = jax.vmap(self._single._step_impl, in_axes=(None, 0, 0))
 
         def _constrain(state, chunks):
             if data_axis is not None:
@@ -295,13 +374,13 @@ class BatchStreamer:
                 chunks = c(chunks)
             return state, chunks
 
-        def step_all(state: StreamState, chunks: jax.Array):
+        def step_all(variables, state: StreamState, chunks: jax.Array):
             state, chunks = _constrain(state, chunks)
-            return vstep(state, chunks)
+            return vstep(variables, state, chunks)
 
-        def step_masked(state: StreamState, chunks: jax.Array, mask: jax.Array):
+        def step_masked(variables, state: StreamState, chunks: jax.Array, mask: jax.Array):
             state, chunks = _constrain(state, chunks)
-            new_state, post = vstep(state, chunks)
+            new_state, post = vstep(variables, state, chunks)
             # Inactive slots (mask False) keep their previous state verbatim:
             # session-based serving (serve/streams.py) advances only the
             # slots whose sessions pushed a chunk this dispatch, in ONE
@@ -312,8 +391,16 @@ class BatchStreamer:
             return jax.tree.map(sel, new_state, state), jnp.where(mask[:, None], post, 0.0)
 
         # Donate the state: serving holds exactly one live state per call.
-        self._step_all = jax.jit(step_all, donate_argnums=(0,))
-        self._step_masked = jax.jit(step_masked, donate_argnums=(0,))
+        self._step_all = jax.jit(step_all, donate_argnums=(1,))
+        self._step_masked = jax.jit(step_masked, donate_argnums=(1,))
+
+    @property
+    def variables(self):
+        return self._single.variables
+
+    def set_variables(self, variables) -> None:
+        """Swap model weights for subsequent steps (no recompile)."""
+        self._single.set_variables(variables)
 
     def reset(self) -> StreamState:
         single = self._single.reset()
@@ -334,7 +421,7 @@ class BatchStreamer:
         """
         assert chunks.shape == (self.n_streams, self.chunk), chunks.shape
         if mask is None:
-            return self._step_all(state, jnp.asarray(chunks, jnp.float32))
+            return self._step_all(self.variables, state, jnp.asarray(chunks, jnp.float32))
         return self._step_masked(
-            state, jnp.asarray(chunks, jnp.float32), jnp.asarray(mask, bool)
+            self.variables, state, jnp.asarray(chunks, jnp.float32), jnp.asarray(mask, bool)
         )

@@ -41,8 +41,16 @@ def build_zoo(
     schedule: tuple[int, ...] | None = None,
     steps_per_call: int | None = None,
     hard: bool = False,
+    dev_pct: float = 10.0,
+    test_pct: float = 10.0,
 ) -> dict:
     import jax
+
+    # Persistent compile cache: zoo builds re-run the same train/eval
+    # programs across models and rounds; cold loads over the TPU tunnel
+    # cost minutes each (see tests/conftest.py for the test-side cache).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from honk_tpu.ckpt import Checkpointer
     from honk_tpu.config import DataConfig, ExperimentConfig, TrainConfig  # noqa: F401
@@ -57,7 +65,11 @@ def build_zoo(
             generate_hard_dataset(data_dir)
         else:
             generate_dataset(data_dir)
-    dataset = load_speech_commands(data_dir)
+    # Non-default split pcts build a measurement-grade zoo: e.g. the hard_v2
+    # parity instrument uses 30/10/60 train/dev/test so TEST is large enough
+    # (SE <= 0.45%) to resolve sub-percent model differences while train
+    # stays in the data-limited regime where capacity ordering is decisive.
+    dataset = load_speech_commands(data_dir, dev_pct=dev_pct, test_pct=test_pct)
     os.makedirs(out_dir, exist_ok=True)
 
     # Corpus provenance: prefer the generator recipe (CORPUS.json, written
@@ -117,7 +129,7 @@ def build_zoo(
         if steps_per_call is not None:
             tkw["steps_per_call"] = steps_per_call
         cfg = ExperimentConfig(
-            data=DataConfig(data_dir=data_dir, seed=seed),
+            data=DataConfig(data_dir=data_dir, seed=seed, dev_pct=dev_pct, test_pct=test_pct),
             train=TrainConfig(**tkw),
         )
         result = train(cfg, dataset=dataset)
@@ -145,6 +157,8 @@ def build_zoo(
                 "compute_dtype": compute_dtype,
                 "lr": list(lr) if lr is not None else list(TrainConfig().lr),
                 "schedule": list(schedule) if schedule is not None else list(TrainConfig().schedule),
+                "dev_pct": dev_pct,
+                "test_pct": test_pct,
                 "n_test_clips": len(dataset.test),
             },
         }
@@ -170,6 +184,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--steps_per_call", type=int, default=None)
     p.add_argument("--hard", action="store_true",
                    help="generate a hard-mode corpus if data_dir is missing")
+    p.add_argument("--dev_pct", type=float, default=10.0)
+    p.add_argument("--test_pct", type=float, default=10.0)
     args = p.parse_args(argv)
     build_zoo(
         args.out_dir, args.models, args.data_dir,
@@ -178,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
         schedule=tuple(args.schedule) if args.schedule is not None else None,
         steps_per_call=args.steps_per_call,
         hard=args.hard,
+        dev_pct=args.dev_pct,
+        test_pct=args.test_pct,
     )
     return 0
 
