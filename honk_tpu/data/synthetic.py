@@ -162,6 +162,106 @@ def _hard_prototypes(n: int, rng: np.random.Generator) -> np.ndarray:
     return np.concatenate([_HARD_PROTOS, np.concatenate([extra, extra2], axis=1)])
 
 
+# Segment alphabet for multi-segment words (segments_per_word == 2): each
+# row is one (F1_start, F1_end, F2_start, F2_end) glide lasting half the
+# word. Words are ORDERED segment pairs chosen so almost every word has a
+# permutation twin (same segment set, opposite order): any short local
+# window shows content identical to the twin's — only temporal ORDER
+# separates the classes. This is the capacity/receptive-field probe the
+# single-glide corpus cannot provide: models that integrate context
+# across the segment boundary (deeper stacks, dilation — res15/res26)
+# have an expressible advantage over shallow/narrow ones, mirroring WHY
+# dilated deep residual nets win on real speech (Tang & Lin ICASSP'18).
+_SEGMENT_ALPHABET = np.array(
+    [
+        (430, 620, 1800, 1350),
+        (620, 810, 1350, 1800),
+        (810, 620, 2250, 1800),
+        (430, 430, 1350, 2250),
+        (620, 430, 1800, 2250),
+    ],
+    dtype=np.float64,
+)
+
+# 13 words: six permutation-twin pairs + one repeated segment.
+_SEGMENT_WORDS = [
+    (0, 1), (1, 0),
+    (0, 2), (2, 0),
+    (1, 2), (2, 1),
+    (0, 3), (3, 0),
+    (1, 3), (3, 1),
+    (2, 3), (3, 2),
+    (0, 0),
+]
+
+
+def _hard_prototypes_seq(n: int, rng: np.random.Generator) -> np.ndarray:
+    """(n, 2, 4) two-segment word prototypes (permutation-twin heavy)."""
+    protos = [
+        np.stack([_SEGMENT_ALPHABET[a], _SEGMENT_ALPHABET[b]])
+        for a, b in _SEGMENT_WORDS
+    ]
+    while len(protos) < n:  # beyond 13 words: random ordered pairs
+        a, b = rng.integers(0, len(_SEGMENT_ALPHABET), 2)
+        protos.append(np.stack([_SEGMENT_ALPHABET[a], _SEGMENT_ALPHABET[b]]))
+    return np.stack(protos[:n])
+
+
+# ---------------------------------------------------------------------------
+# N-gram mode ("ngram"): the receptive-field / capacity instrument.
+#
+# Measured fact (round 4, /tmp/zoo_probe_v3): two-segment glide words are
+# LOCALLY discriminative — every junction between distinct segments is a
+# unique spectral event, so even res8-narrow hits 0.998 and the model
+# ladder cannot be resolved. To make temporal CONTEXT (not local texture)
+# the binding constraint, words here are 5-symbol strings of identical
+# out-and-back formant excursions from a shared anchor, and the word list
+# is built from PAIRS WITH EQUAL BIGRAM MULTISETS:
+#
+#     XXYYX vs XYYXX   and   XXYXY vs XYXXY
+#
+# share unigram AND bigram statistics (e.g. AABBA/ABBAA both contain
+# {AA, AB, YY->BB, BA}), so no feature seen through a window spanning
+# fewer than THREE symbols — and no global average of such features —
+# can separate a twin pair. Three symbols span ~0.6 s: beyond the ~0.54 s
+# receptive field of the res8/narrow stack (3x3 convs after 4x3 pooling),
+# within the dilated res15 (~1.2 s) and res26 (~1.0 s) fields. This is
+# the same mechanism that makes deep dilated residual nets win on real
+# speech (Tang & Lin, ICASSP 2018), distilled into a synthetic corpus
+# whose Bayes floor stays controlled by the jitter/SNR knobs.
+# ---------------------------------------------------------------------------
+
+_NGRAM_ANCHOR = (620.0, 1800.0)  # (F1, F2) shared rest point
+_NGRAM_TARGETS = {
+    "A": (400.0, 1250.0),
+    "B": (850.0, 2350.0),
+    "C": (560.0, 2900.0),
+}
+# Six equal-bigram twin pairs + one easy 13th word.
+_NGRAM_WORDS = [
+    "AABBA", "ABBAA",
+    "AABAB", "ABAAB",
+    "BBABA", "BABBA",
+    "AACAC", "ACAAC",
+    "BBCBC", "BCBBC",
+    "CCBCB", "CBCCB",
+    "ABCBA",
+]
+
+
+def _ngram_prototypes(n: int, rng: np.random.Generator) -> np.ndarray:
+    """(n, 5, 2) excursion-target sequences for the n-gram word set."""
+    protos = [
+        np.array([_NGRAM_TARGETS[ch] for ch in w], dtype=np.float64)
+        for w in _NGRAM_WORDS
+    ]
+    syms = list(_NGRAM_TARGETS)
+    while len(protos) < n:
+        w = "".join(syms[i] for i in rng.integers(0, len(syms), 5))
+        protos.append(np.array([_NGRAM_TARGETS[ch] for ch in w], dtype=np.float64))
+    return np.stack(protos[:n])
+
+
 def _speaker_params(speaker: int, spread: float, seed: int) -> tuple[float, float]:
     """Deterministic per-speaker (vocal-tract alpha, fundamental f0)."""
     r = np.random.default_rng(seed * 100003 + speaker)
@@ -180,18 +280,71 @@ def _hard_word_signal(
     snr_db: tuple[float, float],
 ) -> np.ndarray:
     t = np.arange(sr) / sr
+    if np.ndim(proto) == 2 and proto.shape[1] == 2:
+        # N-gram excursion mode: proto is (n_seg, 2) (F1, F2) targets; every
+        # segment is an out-and-back excursion from the shared anchor, so
+        # junctions are acoustically identical across words — word identity
+        # lives ONLY in the symbol sequence (see _NGRAM_WORDS).
+        n_seg = proto.shape[0]
+        dur = rng.uniform(0.90, 0.99)  # the word fills the clip: trigram
+        center = 0.5                   # context must span ~0.6 s of audio
+        tau = np.clip((t - (center - dur / 2)) / dur, 0.0, 1.0)
+        seg_idx = np.minimum((tau * n_seg).astype(int), n_seg - 1)
+        tau_k = np.clip(tau * n_seg - seg_idx, 0.0, 1.0)
+        bump = np.sin(np.pi * tau_k)  # 0 at both segment edges (anchor)
+        sig = np.zeros(sr)
+        anchors = (_NGRAM_ANCHOR[0], _NGRAM_ANCHOR[1], 2800.0)
+        for k in range(3):
+            a = anchors[k] * alpha * (1.0 + jitter_frac * rng.standard_normal())
+            if k < 2:
+                tgt = proto[:, k] * alpha * (1.0 + jitter_frac * rng.standard_normal(n_seg))
+                f = a + (tgt[seg_idx] - a) * bump
+            else:
+                f = np.full(sr, a)  # speaker-only nuisance formant
+            f = np.clip(f, 60.0, 3900.0)
+            phase = 2 * np.pi * np.cumsum(f) / sr + rng.uniform(0, 2 * np.pi)
+            sig += (0.6 / (k + 1)) * np.sin(phase)
+        # Flat-top envelope: outer symbols must carry as much evidence as
+        # central ones (a Gaussian would fade positions 0 and 4).
+        sig *= 1.0 + 0.35 * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 2 * np.pi))
+        sig *= np.exp(-0.5 * ((t - center) / (0.45 * dur)) ** 6)
+        lo, hi = snr_db
+        snr = rng.uniform(lo, hi)
+        noise_pow = np.mean(sig**2) / (10.0 ** (snr / 10.0))
+        sig = sig + np.sqrt(noise_pow) * rng.standard_normal(sr)
+        return (0.5 * sig / (np.max(np.abs(sig)) + 1e-9)).astype(np.float64)
     dur = rng.uniform(0.38, 0.72)
     center = 0.5 + 0.06 * rng.standard_normal()
     tau = np.clip((t - (center - dur / 2)) / dur, 0.0, 1.0)
-    f1s, f1e, f2s, f2e = proto
-    sig = np.zeros(sr)
-    # Two word-bearing formant glides + one speaker-only nuisance formant.
-    for k, (fs, fe) in enumerate(((f1s, f1e), (f2s, f2e), (2800.0, 2800.0))):
-        fs = fs * alpha * (1.0 + jitter_frac * rng.standard_normal())
-        fe = fe * alpha * (1.0 + jitter_frac * rng.standard_normal())
-        f = np.clip(fs + (fe - fs) * tau, 60.0, 3900.0)
-        phase = 2 * np.pi * np.cumsum(f) / sr + rng.uniform(0, 2 * np.pi)
-        sig += (0.6 / (k + 1)) * np.sin(phase)
+    if np.ndim(proto) == 1:
+        # Single-glide word. This branch's rng draw sequence is frozen:
+        # committed corpus recipes (hard_v1/hard_v2 CORPUS.json) must
+        # regenerate byte-identically.
+        f1s, f1e, f2s, f2e = proto
+        tracks = ((f1s, f1e), (f2s, f2e), (2800.0, 2800.0))
+        sig = np.zeros(sr)
+        # Two word-bearing formant glides + one speaker-only nuisance formant.
+        for k, (fs, fe) in enumerate(tracks):
+            fs = fs * alpha * (1.0 + jitter_frac * rng.standard_normal())
+            fe = fe * alpha * (1.0 + jitter_frac * rng.standard_normal())
+            f = np.clip(fs + (fe - fs) * tau, 60.0, 3900.0)
+            phase = 2 * np.pi * np.cumsum(f) / sr + rng.uniform(0, 2 * np.pi)
+            sig += (0.6 / (k + 1)) * np.sin(phase)
+    else:
+        # Multi-segment word: piecewise formant glides. Segment k owns tau
+        # in [k/n_seg, (k+1)/n_seg); the local 0..1 coordinate drives that
+        # segment's glide, with independent endpoint jitter per segment.
+        n_seg = proto.shape[0]
+        seg_idx = np.minimum((tau * n_seg).astype(int), n_seg - 1)
+        tau_k = np.clip(tau * n_seg - seg_idx, 0.0, 1.0)
+        sig = np.zeros(sr)
+        nuisance = np.full((n_seg, 2), 2800.0)
+        for k, ends in enumerate((proto[:, 0:2], proto[:, 2:4], nuisance)):
+            fs = ends[:, 0] * alpha * (1.0 + jitter_frac * rng.standard_normal(n_seg))
+            fe = ends[:, 1] * alpha * (1.0 + jitter_frac * rng.standard_normal(n_seg))
+            f = np.clip(fs[seg_idx] + (fe[seg_idx] - fs[seg_idx]) * tau_k, 60.0, 3900.0)
+            phase = 2 * np.pi * np.cumsum(f) / sr + rng.uniform(0, 2 * np.pi)
+            sig += (0.6 / (k + 1)) * np.sin(phase)
     # Voicing: amplitude modulation at f0 puts speaker-dependent sidebands
     # around every formant (spectral nuisance the classifier must ignore).
     sig *= 1.0 + 0.35 * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 2 * np.pi))
@@ -215,6 +368,8 @@ def generate_hard_dataset(
     snr_db: tuple[float, float] = (-3.0, 9.0),
     speaker_spread: float = 0.15,
     formant_jitter: float = 0.08,
+    segments_per_word: int = 1,
+    word_mode: str = "glide",
 ) -> str:
     """Write the hard-mode corpus under `root`; returns `root`.
 
@@ -222,10 +377,25 @@ def generate_hard_dataset(
     (a) regeneration with the same args is byte-reproducible and (b) the
     SHA1 split buckets whole speakers, like the real corpus convention.
     The full generator recipe is recorded in `<root>/CORPUS.json`.
+
+    ``segments_per_word=2`` switches to the permutation-twin word set
+    (see ``_SEGMENT_WORDS``): words share segment CONTENT and differ in
+    segment ORDER. Measured caveat: distinct-glide junctions are locally
+    discriminative, so this mode does NOT bind capacity (all models hit
+    ~0.998 — round-4 probe). ``word_mode="ngram"`` is the instrument
+    that does: equal-bigram 5-symbol excursion words where only features
+    spanning >= 3 symbols (~0.6 s) separate the twin pairs — see the
+    _NGRAM_WORDS block comment.
     """
     rng = np.random.default_rng(seed)
     all_words = tuple(words) + tuple(unknown_words)
-    protos = _hard_prototypes(len(all_words), rng)
+    if word_mode == "ngram":
+        protos = _ngram_prototypes(len(all_words), rng)
+    elif segments_per_word == 1:
+        protos = _hard_prototypes(len(all_words), rng)
+    else:
+        assert segments_per_word == 2, "only 1- and 2-segment words defined"
+        protos = _hard_prototypes_seq(len(all_words), rng)
     for w_idx, word in enumerate(all_words):
         d = os.path.join(root, word)
         os.makedirs(d, exist_ok=True)
@@ -257,5 +427,7 @@ def generate_hard_dataset(
         "snr_db": list(snr_db),
         "speaker_spread": speaker_spread,
         "formant_jitter": formant_jitter,
+        "segments_per_word": segments_per_word,
+        "word_mode": word_mode,
     })
     return root

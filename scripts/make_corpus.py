@@ -29,12 +29,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snr_db", type=float, nargs=2, default=None)
     p.add_argument("--speaker_spread", type=float, default=None)
     p.add_argument("--formant_jitter", type=float, default=None)
+    p.add_argument("--segments_per_word", type=int, default=None,
+                   help="2 = permutation-twin two-segment words (temporal-order task)")
+    p.add_argument("--word_mode", default=None, choices=["glide", "ngram"],
+                   help="ngram = equal-bigram 5-symbol words (receptive-field instrument)")
     args = p.parse_args(argv)
 
     from honk_tpu.data import generate_dataset, generate_hard_dataset
 
     kw = {"seed": args.seed}
-    for k in ("clips_per_word", "n_speakers", "speaker_spread", "formant_jitter"):
+    for k in ("clips_per_word", "n_speakers", "speaker_spread", "formant_jitter", "segments_per_word", "word_mode"):
         if getattr(args, k, None) is not None:
             kw[k] = getattr(args, k)
     if args.snr_db is not None:
@@ -47,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
         kw.pop("snr_db", None)
         kw.pop("speaker_spread", None)
         kw.pop("formant_jitter", None)
+        kw.pop("segments_per_word", None)
+        kw.pop("word_mode", None)
         root = generate_dataset(args.root, **kw)
         print(json.dumps({"generator": "generate_dataset", "root": root, **kw}))
     return 0

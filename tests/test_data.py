@@ -150,3 +150,42 @@ def test_hard_dataset_reproducible_and_speaker_split(tmp_path):
 
     ds = load_speech_commands(a)
     assert ds.n_labels == 12 and len(ds.train) > 0
+
+
+def test_ngram_word_set_has_equal_bigram_twins(tmp_path):
+    """The n-gram instrument's core property: every twin pair shares
+    unigram AND bigram multisets (so only >=trigram context separates
+    them), and the generated corpus is reproducible and loadable."""
+    from collections import Counter
+
+    from honk_tpu.data import generate_hard_dataset, load_speech_commands
+    from honk_tpu.data.synthetic import _NGRAM_WORDS
+
+    def bigrams(w):
+        return Counter(w[i : i + 2] for i in range(len(w) - 1))
+
+    twins = list(zip(_NGRAM_WORDS[0:12:2], _NGRAM_WORDS[1:12:2]))
+    assert len(twins) == 6
+    for a, b in twins:
+        assert a != b
+        assert Counter(a) == Counter(b), (a, b)  # unigrams match
+        assert bigrams(a) == bigrams(b), (a, b)  # bigrams match
+
+    kw = dict(clips_per_word=8, n_speakers=8, noise_seconds=2, seed=3, word_mode="ngram")
+    a = generate_hard_dataset(str(tmp_path / "a"), **kw)
+    b = generate_hard_dataset(str(tmp_path / "b"), **kw)
+    import hashlib
+    import os
+
+    def digest(root):
+        h = hashlib.sha1()
+        for dirpath, _, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                h.update(f.encode())
+                with open(os.path.join(dirpath, f), "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    assert digest(a) == digest(b)
+    ds = load_speech_commands(a)
+    assert ds.n_labels == 12 and len(ds.train) > 0
