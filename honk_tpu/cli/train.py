@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--silence_prob", type=float, default=d.silence_prob)
     p.add_argument("--noise_prob", type=float, default=d.noise_prob)
     p.add_argument("--timeshift_ms", type=float, default=d.timeshift_ms)
+    p.add_argument("--dev_pct", type=float, default=d.dev_pct,
+                   help="SHA1-bucket validation percentage (TF Speech Commands convention)")
+    p.add_argument("--test_pct", type=float, default=d.test_pct,
+                   help="SHA1-bucket test percentage")
     p.add_argument("--model", default=t.model)
     p.add_argument("--batch_size", type=int, default=t.batch_size)
     p.add_argument("--n_epochs", type=int, default=t.n_epochs)
@@ -77,6 +81,8 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
             silence_prob=args.silence_prob,
             noise_prob=args.noise_prob,
             timeshift_ms=args.timeshift_ms,
+            dev_pct=args.dev_pct,
+            test_pct=args.test_pct,
             seed=args.seed,
         ),
         train=TrainConfig(

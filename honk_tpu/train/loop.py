@@ -316,7 +316,13 @@ def train(
 def evaluate(cfg: ExperimentConfig, variables: dict[str, Any], dataset: PackedDataset | None = None) -> float:
     """Test-set accuracy for given weights (reference --type eval path)."""
     if dataset is None:
-        dataset = load_speech_commands(cfg.data.data_dir, wanted_words=tuple(cfg.data.wanted_words))
+        dataset = load_speech_commands(
+            cfg.data.data_dir,
+            wanted_words=tuple(cfg.data.wanted_words),
+            dev_pct=cfg.data.dev_pct,
+            test_pct=cfg.data.test_pct,
+            seed=cfg.data.seed,
+        )
     model_cfg = find_config(cfg.train.model)
     model_cfg["n_labels"] = dataset.n_labels
     model = find_model(cfg.train.model)(config=model_cfg, precision="highest")

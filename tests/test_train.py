@@ -173,9 +173,10 @@ def test_hard_recipe_band_and_capacity_ordering(tmp_path):
     not saturate at 1.0 (which hides schedule/BN/weight-decay bugs) and
     not collapse — and res8 must beat res8-narrow by a clear margin at
     this data scale (capacity binds when data is scarce; CPU-calibrated:
-    res8 ~0.72, narrow ~0.59). Full-scale on-chip evidence:
-    runs/res8_hard_recipe_tpu.jsonl (0.9219) and zoo_hard/MANIFEST.json
-    (best-dev monotone in capacity: res26 > res15 > res8 > narrow)."""
+    res8 ~0.72, narrow ~0.59). The FULL-SCALE +-3% accuracy gate lives in
+    test_zoo.py::test_committed_zoo_hard_v2_accuracy_band against the
+    committed zoo_hard_v2 artifacts (train-scarce 10/10/80 split, TEST
+    n=9559, pairwise McNemar ordering resolved at >=2 SE)."""
     import math
 
     from honk_tpu import data as D
@@ -200,6 +201,8 @@ def test_hard_recipe_band_and_capacity_ordering(tmp_path):
         )
         accs[model] = train(cfg, dataset=ds, logger=MetricsLogger())["test_acc"]
 
-    assert 0.55 <= accs["res8"] <= 0.95, accs  # the band: hard but learnable
+    # CPU-calibrated band around the measured ~0.72 (was 0.55-0.95; a 2%
+    # recipe bug passed the old band — r3 VERDICT Weak #1).
+    assert 0.62 <= accs["res8"] <= 0.82, accs
     assert accs["res8-narrow"] >= 0.3, accs  # narrow still far above chance (1/12)
     assert accs["res8"] >= accs["res8-narrow"] + 0.05, accs  # capacity ordering

@@ -92,3 +92,92 @@ def test_committed_zoo_hard_artifacts_eval(tmp_path, capsys):
     line = [l for l in capsys.readouterr().out.splitlines() if "final test accuracy:" in l]
     acc = float(line[-1].split(":")[1])
     assert acc > 0.6, f"committed artifact scored {acc}"
+
+
+def test_zoo_hard_v2_ladder_stats_consistent():
+    """FAST consistency gate for the committed parity instrument
+    (VERDICT r3 #1): the MANIFEST's pairwise McNemar stats must be
+    recomputable from the committed per-clip correctness vectors, and the
+    required capacity ordering must be resolved at >= 2 SE:
+    res15 > res8, res26 > res8, res8 > res8-narrow."""
+    import numpy as np
+
+    with open("zoo_hard_v2/MANIFEST.json") as f:
+        manifest = json.load(f)
+    stats = manifest["ladder_stats"]
+    vecs = {
+        name: np.load(f"zoo_hard_v2/{name}_test_correct.npy")
+        for name in manifest["models"]
+    }
+    n = stats["n_test_clips"]
+    for v in vecs.values():
+        assert v.shape == (n,) and v.dtype == bool
+
+    for key, s in stats["pairwise"].items():
+        a, b_name = key.split("_vs_")
+        va, vb = vecs[a], vecs[b_name]
+        b = int((va & ~vb).sum())
+        c = int((~va & vb).sum())
+        assert b == s["n_only_first_correct"], key
+        assert c == s["n_only_second_correct"], key
+        z = (b - c) / max(np.sqrt(b + c), 1e-9)
+        assert abs(z - s["mcnemar_z"]) < 0.01, key
+        assert s["resolved_2se"] == (abs(z) >= 2.0), key
+
+    # The capacity ordering the instrument exists to pin (paper ordering;
+    # res15-vs-res26 is a paper-consistent near-tie and not required).
+    required = [
+        ("res15", "res8"), ("res26", "res8"), ("res8", "res8-narrow"),
+        ("res15", "res8-narrow"), ("res26", "res8-narrow"),
+    ]
+    for winner, loser in required:
+        key = f"{winner}_vs_{loser}" if f"{winner}_vs_{loser}" in stats["pairwise"] else f"{loser}_vs_{winner}"
+        s = stats["pairwise"][key]
+        assert s["resolved_2se"], (key, s)
+        assert s["winner"] == winner, (key, s)
+
+
+@pytest.mark.slow
+def test_committed_zoo_hard_v2_accuracy_band(tmp_path, capsys):
+    """SLOW full-fidelity gate (VERDICT r3 #1 'tighten the band to +-3%'):
+    regenerate the EXACT hard_v2 corpus from the recorded recipe (the
+    generator is byte-reproducible), evaluate the committed .pt artifacts
+    through the reference-style eval CLI with the recorded split, and
+    assert each model lands within +-3% of its recorded test accuracy —
+    a recipe/eval regression of the size the old 0.55-0.95 band would
+    have passed now fails."""
+    from honk_tpu import data as D
+    from honk_tpu.cli.train import main as cli_main
+
+    with open("zoo_hard_v2/MANIFEST.json") as f:
+        manifest = json.load(f)
+    rec = manifest["corpus_recipe"]
+    assert rec["generator"].endswith("generate_hard_dataset")
+    root = str(tmp_path / "hard_v2")
+    D.generate_hard_dataset(
+        root,
+        clips_per_word=rec["clips_per_word"],
+        n_speakers=rec["n_speakers"],
+        noise_seconds=rec["noise_seconds"],
+        seed=rec["seed"],
+        snr_db=tuple(rec["snr_db"]),
+        speaker_spread=rec["speaker_spread"],
+        formant_jitter=rec["formant_jitter"],
+    )
+    accs = {}
+    for name in ("res8", "res8-narrow", "res15"):
+        recipe = manifest["models"][name]["recipe"]
+        rc = cli_main([
+            "--type", "eval", "--model", name,
+            "--data_dir", root,
+            "--input_file", f"zoo_hard_v2/{name}.pt",
+            "--dev_pct", str(recipe["dev_pct"]),
+            "--test_pct", str(recipe["test_pct"]),
+        ])
+        assert rc == 0
+        line = [l for l in capsys.readouterr().out.splitlines() if "final test accuracy:" in l]
+        accs[name] = float(line[-1].split(":")[1])
+        recorded = manifest["models"][name]["test_acc_recheck"]
+        assert abs(accs[name] - recorded) <= 0.03, (name, accs[name], recorded)
+    # Ordering holds on the regenerated corpus too.
+    assert accs["res15"] > accs["res8"] > accs["res8-narrow"], accs
