@@ -47,8 +47,14 @@ def main() -> None:
     from honk_tpu.train import create_train_state, make_optimizer, make_train_step
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    scan_short = int(os.environ.get("BENCH_SCAN_SHORT", "8"))
-    scan_long = int(os.environ.get("BENCH_SCAN_LONG", "32"))
+    # r4: scan lens raised from (8, 32) to (32, 160). The marginal's noise
+    # is (per-chain tunnel jitter)/(L_long - L_short); at (8, 32) the
+    # denominator was 24 steps (~44 ms of train work) and train marginals
+    # swung +/-25% run-to-run. 128 steps (~230 ms) buys ~5x noise
+    # reduction for <1 s of extra device time per rep (VERDICT r3 #6:
+    # target train spread max/min <= 1.2).
+    scan_short = int(os.environ.get("BENCH_SCAN_SHORT", "32"))
+    scan_long = int(os.environ.get("BENCH_SCAN_LONG", "160"))
     # 7 reps (up from 3 in r01/r02): the r01->r02 infer swing (-26% on
     # byte-identical code) showed the tunnel's noise floor is wide; more
     # reps are nearly free with the compile cache, and the JSON now
