@@ -154,30 +154,43 @@ class StreamHub:
                 predecessor[sess.sid] = sess.pending_ticket
                 sess.pending_ticket = ticket
         # Device wait OUTSIDE the lock: other threads can validate,
-        # dispatch the next tick, or open/close sessions meanwhile.
-        post = np.asarray(post)
+        # dispatch the next tick, or open/close sessions meanwhile. The
+        # finally block guarantees applied_ticket always reaches `ticket`
+        # even if the fetch raises — otherwise every later push (and
+        # close) of these sessions would wait on the condition forever.
         out = {}
-        with self._apply_cv:
-            for sess in sessions:
-                # Dispatches touching a session apply in dispatch order;
-                # tickets are totally ordered, so waiting on a strictly
-                # smaller predecessor ticket cannot deadlock.
-                while sess.applied_ticket != predecessor[sess.sid]:
-                    self._apply_cv.wait()
-            for sess in sessions:
-                smoothed = post[sess.slot]
-                e = sess.detector.step(smoothed)
-                new = [e] if e is not None else []
-                sess.events.extend(new)
-                sess.applied_ticket = ticket
-                idx = int(smoothed.argmax())
-                out[sess.sid] = {
-                    "posterior": [round(float(p), 6) for p in smoothed],
-                    "label": self.labels[idx],
-                    "prob": float(smoothed[idx]),
-                    "events": [self._event_json(e) for e in new],
-                }
-            self._apply_cv.notify_all()
+        fetched = None
+        try:
+            fetched = np.asarray(post)
+        finally:
+            with self._apply_cv:
+                for sess in sessions:
+                    # Dispatches touching a session apply in dispatch
+                    # order; tickets are totally ordered, so waiting on a
+                    # strictly smaller predecessor cannot deadlock.
+                    while sess.applied_ticket != predecessor[sess.sid]:
+                        self._apply_cv.wait()
+                try:
+                    if fetched is not None:  # fetch raised otherwise
+                        for sess in sessions:
+                            smoothed = fetched[sess.slot]
+                            e = sess.detector.step(smoothed)
+                            new = [e] if e is not None else []
+                            sess.events.extend(new)
+                            idx = int(smoothed.argmax())
+                            out[sess.sid] = {
+                                "posterior": [round(float(p), 6) for p in smoothed],
+                                "label": self.labels[idx],
+                                "prob": float(smoothed[idx]),
+                                "events": [self._event_json(e) for e in new],
+                            }
+                finally:
+                    # Tickets ALWAYS advance, even on a device error —
+                    # otherwise later pushes/closes of these sessions
+                    # would wait on the condition forever.
+                    for sess in sessions:
+                        sess.applied_ticket = ticket
+                    self._apply_cv.notify_all()
         return out
 
     def close(self, sid: str) -> dict[str, Any]:
