@@ -566,3 +566,33 @@ def test_hub_set_variables_reaches_open_sessions(service):
     # The swap actually changed behaviour (different random init).
     assert not np.allclose(np.asarray(p1), np.asarray(p0), atol=1e-3)
     hub.close(sid)
+
+
+def test_stream_hub_survives_fetch_failure(service):
+    """A device-fetch failure mid-push must raise to the caller but NOT
+    wedge the session: tickets always advance (try/finally in push_many),
+    so later pushes and close() cannot deadlock on the apply condition."""
+    from honk_tpu.serve import StreamHub
+
+    hub = StreamHub(service, n_slots=2, chunk_samples=3200)
+    sid = hub.open()
+    chunk = np.zeros(3200, np.float32)
+    real_process = hub._bs.process
+
+    class Boom:
+        def __array__(self, *a, **k):
+            raise RuntimeError("device lost")
+
+    def bad_process(state, chunks, mask):
+        state, _post = real_process(state, chunks, mask)
+        return state, Boom()
+
+    hub._bs.process = bad_process
+    try:
+        with pytest.raises(RuntimeError, match="device lost"):
+            hub.push(sid, chunk)
+    finally:
+        hub._bs.process = real_process
+    out = hub.push(sid, chunk)  # session still usable, no deadlock
+    assert "posterior" in out
+    assert "events" in hub.close(sid)
