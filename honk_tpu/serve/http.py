@@ -40,20 +40,55 @@ def _decode_pcm16(b64: str) -> np.ndarray:
 
 
 # Minimal single-file browser demo (equivalent of the reference's web
-# demo page): mic -> 1 s capture -> 16 kHz PCM16 -> POST /listen.
+# demo page): mic -> 1 s capture -> 16 kHz PCM16 -> POST /listen, plus a
+# LIVE mode that drives the /stream session API (open -> 200 ms pushes
+# -> close) for continuous detection — the capability the reference's
+# speech_demo.py provides from a local microphone, served to a browser.
 _DEMO_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>honk_tpu demo</title><style>
 body{font-family:system-ui,sans-serif;max-width:40rem;margin:3rem auto;padding:0 1rem}
-button{font-size:1.2rem;padding:.6rem 1.4rem;cursor:pointer}
-#out{font-size:2rem;margin-top:1rem}</style></head><body>
+button{font-size:1.2rem;padding:.6rem 1.4rem;cursor:pointer;margin-right:.6rem}
+#out{font-size:2rem;margin-top:1rem}
+#events{margin-top:1rem;color:#555;font-family:monospace;white-space:pre-line}</style></head><body>
 <h1>honk_tpu keyword spotting</h1>
 <p>Known labels: <code id="labels"></code></p>
 <button id="rec">record 1 s</button>
+<button id="live">start live stream</button>
 <div id="out"></div>
+<div id="events"></div>
 <script>
 const LABELS = __LABELS__;
 document.getElementById('labels').textContent = LABELS.join(', ');
 const out = document.getElementById('out');
+const eventsDiv = document.getElementById('events');
+
+function pcm16b64(f32) {
+  // f32 samples at 16 kHz -> PCM16 -> base64, chunked: spreading 32k
+  // args onto the call stack (String.fromCharCode(...bytes)) overflows
+  // some engines' argument limits and throws RangeError.
+  const pcm = new Int16Array(f32.length);
+  for (let i = 0; i < f32.length; i++)
+    pcm[i] = Math.max(-32768, Math.min(32767, Math.round((f32[i] || 0) * 32767)));
+  const bytes = new Uint8Array(pcm.buffer);
+  let bin = '';
+  for (let o = 0; o < bytes.length; o += 8192)
+    bin += String.fromCharCode.apply(null, bytes.subarray(o, o + 8192));
+  return btoa(bin);
+}
+
+function resample(samples, fromRate, n) {
+  const ratio = fromRate / 16000;
+  const f32 = new Float32Array(n);
+  for (let i = 0; i < n; i++) f32[i] = samples[Math.floor(i * ratio)] || 0;
+  return f32;
+}
+
+async function post(path, obj) {
+  const resp = await fetch(path, {method: 'POST',
+    headers: {'Content-Type': 'application/json'}, body: JSON.stringify(obj)});
+  return resp.json();
+}
+
 document.getElementById('rec').onclick = async () => {
   out.textContent = 'listening...';
   try {
@@ -67,28 +102,49 @@ document.getElementById('rec').onclick = async () => {
     await new Promise(r => setTimeout(r, 1100));
     proc.disconnect(); src.disconnect();
     stream.getTracks().forEach(t => t.stop());
-    // naive resample to 16 kHz + PCM16
-    const ratio = ctx.sampleRate / 16000;
-    const pcm = new Int16Array(16000);
-    for (let i = 0; i < 16000; i++) {
-      const v = samples[Math.floor(i * ratio)] || 0;
-      pcm[i] = Math.max(-32768, Math.min(32767, Math.round(v * 32767)));
-    }
-    // Chunked binary->string: spreading 32k args onto the call stack
-    // (String.fromCharCode(...bytes)) overflows some engines' argument
-    // limits and throws RangeError intermittently.
-    const bytes = new Uint8Array(pcm.buffer);
-    let bin = '';
-    for (let o = 0; o < bytes.length; o += 8192)
-      bin += String.fromCharCode.apply(null, bytes.subarray(o, o + 8192));
-    const b64 = btoa(bin);
-    const resp = await fetch('/listen', {method: 'POST',
-      headers: {'Content-Type': 'application/json'},
-      body: JSON.stringify({wav_data: b64, method: 'all'})});
-    const j = await resp.json();
+    const j = await post('/listen', {wav_data: pcm16b64(resample(samples, ctx.sampleRate, 16000)), method: 'all'});
     out.textContent = j.contains_command ? `\\u2192 ${j.label} (p=${j.prob.toFixed(2)})`
                                          : `(${j.label}, p=${j.prob.toFixed(2)})`;
   } catch (err) { out.textContent = 'error: ' + err; }
+};
+
+let liveStop = null;
+document.getElementById('live').onclick = async function () {
+  if (liveStop) { liveStop(); return; }
+  const btn = this;
+  try {
+    const {stream_id, chunk_samples} = await post('/stream/open', {});
+    const media = await navigator.mediaDevices.getUserMedia({audio: true});
+    const ctx = new AudioContext();
+    const src = ctx.createMediaStreamSource(media);
+    const proc = ctx.createScriptProcessor(4096, 1, 1);
+    let buf = [];
+    const chunkIn = Math.round(chunk_samples * ctx.sampleRate / 16000);
+    let busy = false;
+    proc.onaudioprocess = async e => {
+      buf.push(...e.inputBuffer.getChannelData(0));
+      if (buf.length >= chunkIn && !busy) {
+        const take = buf.slice(0, chunkIn); buf = buf.slice(chunkIn);
+        busy = true;
+        try {
+          const j = await post('/stream/push',
+            {stream_id, wav_data: pcm16b64(resample(take, ctx.sampleRate, chunk_samples))});
+          out.textContent = `${j.label} (p=${j.prob.toFixed(2)})`;
+          for (const ev of j.events)
+            eventsDiv.textContent = `${ev.time_s.toFixed(1)}s  ${ev.label}  p=${ev.prob.toFixed(2)}\\n` + eventsDiv.textContent;
+        } finally { busy = false; }
+      }
+    };
+    src.connect(proc); proc.connect(ctx.destination);
+    btn.textContent = 'stop live stream';
+    liveStop = async () => {
+      proc.disconnect(); src.disconnect();
+      media.getTracks().forEach(t => t.stop());
+      await post('/stream/close', {stream_id});
+      btn.textContent = 'start live stream';
+      liveStop = null;
+    };
+  } catch (err) { out.textContent = 'error: ' + err; liveStop = null; }
 };
 </script></body></html>
 """

@@ -429,6 +429,8 @@ def test_http_demo_page(service):
             assert r.headers["Content-Type"].startswith("text/html")
             page = r.read().decode()
         assert "honk_tpu" in page and "/listen" in page
+        # live-stream mode drives the session API from the browser
+        assert "/stream/open" in page and "/stream/push" in page and "/stream/close" in page
         assert json.dumps(service.labels) in page
     finally:
         httpd.shutdown()
