@@ -55,6 +55,10 @@ def main() -> None:
     # target train spread max/min <= 1.2).
     scan_short = int(os.environ.get("BENCH_SCAN_SHORT", "32"))
     scan_long = int(os.environ.get("BENCH_SCAN_LONG", "160"))
+    # Inference steps are ~3x shorter than train steps, so its marginal
+    # gets 2x the scan lengths to keep a comparable work term (>=160 ms)
+    # against the same tunnel jitter.
+    infer_short, infer_long = 2 * scan_short, 2 * scan_long
     # 7 reps (up from 3 in r01/r02): the r01->r02 infer swing (-26% on
     # byte-identical code) showed the tunnel's noise floor is wide; more
     # reps are nearly free with the compile cache, and the JSON now
@@ -96,7 +100,7 @@ def main() -> None:
 
         return infer_scan
 
-    def scan_marginal(short_fn, long_fn, *args):
+    def scan_marginal(short_fn, long_fn, lens, *args):
         """Median marginal per-iteration time between two in-jit scan lengths.
 
         Timing is taken as time-to-device_get of a scalar that data-depends
@@ -117,7 +121,7 @@ def main() -> None:
             t0 = time.perf_counter()
             float(jax.device_get(long_fn(*args, seed)))
             tl = time.perf_counter() - t0
-            m = (tl - ts) / (scan_long - scan_short)
+            m = (tl - ts) / (lens[1] - lens[0])
             if m > 0:
                 ms.append(m)
         if not ms:
@@ -125,7 +129,8 @@ def main() -> None:
         return float(np.median(ms)), ms
 
     infer_t, infer_ms = scan_marginal(
-        make_infer_scan(scan_short), make_infer_scan(scan_long), params, batch_stats, pool
+        make_infer_scan(infer_short), make_infer_scan(infer_long),
+        (infer_short, infer_long), params, batch_stats, pool,
     )
     infer_aps = batch / infer_t
 
@@ -163,7 +168,7 @@ def main() -> None:
 
     train_t, train_ms = scan_marginal(
         make_train_scan(scan_short), make_train_scan(scan_long),
-        state0, audio_i16, labels, noise,
+        (scan_short, scan_long), state0, audio_i16, labels, noise,
     )
     train_aps = batch / train_t
 
@@ -206,6 +211,7 @@ def main() -> None:
         "train_spread": spread(train_ms),
         "batch": batch,
         "scan_lens": [scan_short, scan_long],
+        "infer_scan_lens": [infer_short, infer_long],
         "model": model_name,
         "device": str(jax.devices()[0]),
         "implied_tflops": [round(infer_tflops, 1), round(train_tflops, 1)],
