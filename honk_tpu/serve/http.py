@@ -109,13 +109,19 @@ document.getElementById('rec').onclick = async () => {
 };
 
 let liveStop = null;
+let liveSid = null;
 document.getElementById('live').onclick = async function () {
   if (liveStop) { liveStop(); return; }
   const btn = this;
+  let sid = null, media = null, ctx = null;
   try {
-    const {stream_id, chunk_samples} = await post('/stream/open', {});
-    const media = await navigator.mediaDevices.getUserMedia({audio: true});
-    const ctx = new AudioContext();
+    // Acquire the mic BEFORE opening a server slot: a denied permission
+    // must not leak a hub session (slots are finite).
+    media = await navigator.mediaDevices.getUserMedia({audio: true});
+    const o = await post('/stream/open', {});
+    sid = o.stream_id; liveSid = sid;
+    const chunk_samples = o.chunk_samples;
+    ctx = new AudioContext();
     const src = ctx.createMediaStreamSource(media);
     const proc = ctx.createScriptProcessor(4096, 1, 1);
     let buf = [];
@@ -123,12 +129,15 @@ document.getElementById('live').onclick = async function () {
     let busy = false;
     proc.onaudioprocess = async e => {
       buf.push(...e.inputBuffer.getChannelData(0));
+      // Backpressure: if the server falls behind real time, keep only
+      // the freshest 3 chunks — bounded memory, bounded latency drift.
+      if (buf.length > 3 * chunkIn) buf = buf.slice(buf.length - 3 * chunkIn);
       if (buf.length >= chunkIn && !busy) {
         const take = buf.slice(0, chunkIn); buf = buf.slice(chunkIn);
         busy = true;
         try {
           const j = await post('/stream/push',
-            {stream_id, wav_data: pcm16b64(resample(take, ctx.sampleRate, chunk_samples))});
+            {stream_id: sid, wav_data: pcm16b64(resample(take, ctx.sampleRate, chunk_samples))});
           out.textContent = `${j.label} (p=${j.prob.toFixed(2)})`;
           for (const ev of j.events)
             eventsDiv.textContent = `${ev.time_s.toFixed(1)}s  ${ev.label}  p=${ev.prob.toFixed(2)}\\n` + eventsDiv.textContent;
@@ -140,12 +149,27 @@ document.getElementById('live').onclick = async function () {
     liveStop = async () => {
       proc.disconnect(); src.disconnect();
       media.getTracks().forEach(t => t.stop());
-      await post('/stream/close', {stream_id});
+      await ctx.close();  // AudioContexts are capped per page
+      await post('/stream/close', {stream_id: sid});
+      liveSid = null;
       btn.textContent = 'start live stream';
       liveStop = null;
     };
-  } catch (err) { out.textContent = 'error: ' + err; liveStop = null; }
+  } catch (err) {
+    out.textContent = 'error: ' + err;
+    if (media) media.getTracks().forEach(t => t.stop());
+    if (ctx) try { await ctx.close(); } catch (_) {}
+    if (sid) try { await post('/stream/close', {stream_id: sid}); } catch (_) {}
+    liveSid = null; liveStop = null;
+  }
 };
+// Tab close/navigation mid-stream: free the server slot (keepalive lets
+// the request outlive the page).
+addEventListener('pagehide', () => {
+  if (liveSid) fetch('/stream/close', {method: 'POST', keepalive: true,
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({stream_id: liveSid})});
+});
 </script></body></html>
 """
 

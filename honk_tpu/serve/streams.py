@@ -158,7 +158,7 @@ class StreamHub:
         # finally block guarantees applied_ticket always reaches `ticket`
         # even if the fetch raises — otherwise every later push (and
         # close) of these sessions would wait on the condition forever.
-        out = {}
+        applied = []  # (sess, smoothed, new_events)
         fetched = None
         try:
             fetched = np.asarray(post)
@@ -172,18 +172,15 @@ class StreamHub:
                         self._apply_cv.wait()
                 try:
                     if fetched is not None:  # fetch raised otherwise
+                        # Only the ORDER-dependent state advances under
+                        # the condition lock (detector cursor + event
+                        # history); JSON formatting happens outside it.
                         for sess in sessions:
                             smoothed = fetched[sess.slot]
                             e = sess.detector.step(smoothed)
                             new = [e] if e is not None else []
                             sess.events.extend(new)
-                            idx = int(smoothed.argmax())
-                            out[sess.sid] = {
-                                "posterior": [round(float(p), 6) for p in smoothed],
-                                "label": self.labels[idx],
-                                "prob": float(smoothed[idx]),
-                                "events": [self._event_json(e) for e in new],
-                            }
+                            applied.append((sess, smoothed, new))
                 finally:
                     # Tickets ALWAYS advance, even on a device error —
                     # otherwise later pushes/closes of these sessions
@@ -191,6 +188,15 @@ class StreamHub:
                     for sess in sessions:
                         sess.applied_ticket = ticket
                     self._apply_cv.notify_all()
+        out = {}
+        for sess, smoothed, new in applied:
+            idx = int(smoothed.argmax())
+            out[sess.sid] = {
+                "posterior": [round(float(p), 6) for p in smoothed],
+                "label": self.labels[idx],
+                "prob": float(smoothed[idx]),
+                "events": [self._event_json(e) for e in new],
+            }
         return out
 
     def close(self, sid: str) -> dict[str, Any]:

@@ -91,7 +91,11 @@ def main(argv: list[str] | None = None) -> int:
         with urllib.request.urlopen(req) as r:
             return json.loads(r.read())
 
+    if args.slots % args.gateways != 0:
+        p.error(f"--slots ({args.slots}) must be divisible by --gateways ({args.gateways}) "
+                "so every slot is driven (otherwise host_share is skewed)")
     per_gateway = args.slots // args.gateways
+    assert per_gateway >= 1
     # Pre-encode one tick's payload per gateway (clients would encode their
     # own audio; the SERVER cost is what we are measuring — but we also
     # report the all-inclusive number where gateways re-encode each tick).

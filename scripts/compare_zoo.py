@@ -102,7 +102,9 @@ def main(argv: list[str] | None = None) -> int:
             "n_only_first_correct": b,
             "n_only_second_correct": c,
             "mcnemar_z": round(float(z), 2),
-            "winner": a if z > 0 else b_name,
+            # None on an exact tie — naming either side would record an
+            # arbitrary ordering in the committed manifest.
+            "winner": None if b == c else (a if z > 0 else b_name),
             "resolved_2se": bool(abs(z) >= 2.0),
         }
         print(f"{key}: b={b} c={c} z={z:+.2f} "

@@ -163,6 +163,10 @@ def test_committed_zoo_hard_v2_accuracy_band(tmp_path, capsys):
         snr_db=tuple(rec["snr_db"]),
         speaker_spread=rec["speaker_spread"],
         formant_jitter=rec["formant_jitter"],
+        # Full recipe fidelity: a zoo built from a 2-segment or ngram
+        # corpus must be validated on THAT corpus, not the glide default.
+        segments_per_word=rec.get("segments_per_word", 1),
+        word_mode=rec.get("word_mode", "glide"),
     )
     accs = {}
     for name in ("res8", "res8-narrow", "res15"):
