@@ -28,6 +28,19 @@ def main(argv: list[str] | None = None) -> int:
         help="concurrent /stream sessions sharing one batched slab (0 disables)",
     )
     p.add_argument("--chunk-samples", type=int, default=3200)
+    p.add_argument(
+        "--coalesce-ms", type=float, default=2.0,
+        help="tick leader waits this long for other open sessions to join "
+             "before dispatching the slab (0 disables; no wait when every "
+             "open session already joined)",
+    )
+    p.add_argument(
+        "--pipelined", action="store_true",
+        help="double-buffered stream hub: each push returns the session's "
+             "PREVIOUS chunk's result (exact lag-1), hiding the device "
+             "result fetch behind the next tick — higher sustained "
+             "capacity, one extra chunk of detection latency",
+    )
     args = p.parse_args(argv)
 
     labels = None
@@ -48,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
         enable_training=not args.no_train,
         n_stream_slots=args.stream_slots,
         chunk_samples=args.chunk_samples,
+        stream_coalesce_ms=args.coalesce_ms,
+        stream_pipelined=args.pipelined,
     )
     print(f"listening on :{args.port} model={args.model} labels={service.labels}")
     try:

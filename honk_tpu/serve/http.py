@@ -12,13 +12,30 @@ demo — reconstructed [中], SURVEY.md §2.1). Endpoints:
     POST /stream/open  {"chunk_samples"?}        -> {"stream_id", "chunk_samples"}
     POST /stream/push  {"stream_id","wav_data"}  -> {"posterior","label","prob","events"}
     POST /stream/push_many {"chunks": {sid: wav_data}} -> {"results": {sid: ...}}
+    POST /stream/push_bin  (binary frame, below) -> {"results": {sid: ...}}
     POST /stream/close {"stream_id"}             -> {"events"}
 
+``/stream/push_bin`` is the high-throughput gateway path (VERDICT r4 #1:
+JSON+base64 parsing dominated the r4 serving host share). Request body is
+``Content-Type: application/octet-stream``::
+
+    u32 LE header_len | header JSON | raw PCM16 LE samples
+
+where the header is ``{"stream_ids": [...], "posterior": false?}`` and
+the payload is ``len(stream_ids) * chunk_samples`` int16 samples in
+stream_ids order. The response is the push_many JSON WITHOUT the
+per-label posterior list unless ``"posterior": true`` — events/labels are
+what a gateway needs per tick. Semantics are identical to push_many on
+the same chunks (tested).
+
 stdlib http.server only (no extra deps). The server is THREADED
-(ThreadingHTTPServer): JAX dispatch is thread-safe and device work
-serializes on-chip anyway, so a long /train no longer blocks /listen at
-the socket level; the streaming session hub (serve/streams.py) holds its
-own lock around the shared slab. Start via ``python -m honk_tpu.cli.serve``.
+(ThreadingHTTPServer) and speaks HTTP/1.1 with keep-alive (every response
+carries Content-Length), so per-tick gateway requests reuse one TCP
+connection instead of paying connect+thread-spawn per push. JAX dispatch
+is thread-safe and device work serializes on-chip anyway, so a long
+/train does not block /listen at the socket level; the streaming session
+hub (serve/streams.py) coalesces concurrent pushes into full-slab
+dispatches. Start via ``python -m honk_tpu.cli.serve``.
 """
 
 from __future__ import annotations
@@ -119,6 +136,9 @@ document.getElementById('live').onclick = async function () {
     // must not leak a hub session (slots are finite).
     media = await navigator.mediaDevices.getUserMedia({audio: true});
     const o = await post('/stream/open', {});
+    // Surface open failures (e.g. 503 all slots in use): without this the
+    // mic pipeline would start with an undefined stream id and never push.
+    if (o.error || !o.stream_id) throw new Error(o.error || 'stream open failed');
     sid = o.stream_id; liveSid = sid;
     const chunk_samples = o.chunk_samples;
     ctx = new AudioContext();
@@ -176,6 +196,12 @@ addEventListener('pagehide', () => {
 
 def make_handler(service: LabelService, trainer: TrainingService | None, hub: StreamHub | None):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: keep-alive connections (every response sets
+        # Content-Length, which 1.1 requires for reuse). Gateways pushing a
+        # chunk per tick per session reuse one TCP connection instead of a
+        # fresh connect + server thread per request.
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, obj: dict[str, Any]) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -201,6 +227,9 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
                 self._send(404, {"error": "unknown endpoint"})
 
         def do_POST(self):
+            if self.path == "/stream/push_bin":
+                self._handle_push_bin()
+                return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
@@ -255,13 +284,57 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
             else:
                 self._send(404, {"error": "unknown endpoint"})
 
+        def _handle_push_bin(self) -> None:
+            """Binary gateway tick: header JSON + raw PCM16, no base64.
+
+            Frame: u32 LE header length | header JSON | PCM16 samples (one
+            ``hub.chunk``-sample block per stream id, in header order).
+            """
+            if hub is None:
+                self._send(503, {"error": "streaming disabled"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+                hlen = int.from_bytes(body[:4], "little")
+                header = json.loads(body[4 : 4 + hlen])
+                sids = header["stream_ids"]
+                pcm = np.frombuffer(body[4 + hlen :], dtype="<i2")
+                if pcm.size != len(sids) * hub.chunk:
+                    raise ValueError(
+                        f"payload has {pcm.size} samples, expected "
+                        f"{len(sids)} x {hub.chunk}"
+                    )
+                rows = pcm.astype(np.float32).reshape(len(sids), hub.chunk)
+                rows /= 32768.0
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": f"bad binary frame: {e}"})
+                return
+            try:
+                results = hub.push_rows(
+                    sids, rows, want_posterior=bool(header.get("posterior", False))
+                )
+            except KeyError as e:
+                self._send(404, {"error": f"unknown stream_id: {e}"})
+                return
+            except (ValueError, RuntimeError) as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(200, {"results": results})
+
         def _handle_stream(self, payload: dict[str, Any]) -> None:
             if hub is None:
                 self._send(503, {"error": "streaming disabled"})
                 return
             try:
                 if self.path == "/stream/open":
-                    sid = hub.open()
+                    try:
+                        sid = hub.open()
+                    except RuntimeError as e:
+                        # Capacity, not malformed input: let clients
+                        # distinguish "retry later" from a bad request.
+                        self._send(503, {"error": str(e)})
+                        return
                     self._send(200, {"stream_id": sid, "chunk_samples": hub.chunk})
                 elif self.path == "/stream/push":
                     chunk = _decode_pcm16(payload["wav_data"])
@@ -296,10 +369,29 @@ def serve(
     n_stream_slots: int = 8,
     stream_cfg=None,
     chunk_samples: int = 3200,
+    stream_coalesce_ms: float = 2.0,
+    stream_pipelined: bool = False,
 ) -> ThreadingHTTPServer:
+    """Start the HTTP front end (returns the server; call serve_forever).
+
+    ``stream_coalesce_ms``: how long a tick leader waits for the remaining
+    open sessions to join before dispatching the slab (serve/streams.py).
+    Zero added latency when one client drives all sessions (or only one is
+    open); with several independent gateways it merges their ticks into
+    full-slab dispatches instead of K sparse ones.
+
+    ``stream_pipelined``: double-buffered hub — each push returns the
+    session's PREVIOUS chunk's result (exact lag-1, tested), hiding the
+    dependent device→host result fetch behind the next chunk's on-device
+    execution. Roughly doubles sustained stream capacity at the cost of
+    one chunk (200 ms default) of added detection latency.
+    """
     trainer = TrainingService(service) if enable_training else None
     hub = (
-        StreamHub(service, n_stream_slots, stream_cfg, chunk_samples)
+        StreamHub(
+            service, n_stream_slots, stream_cfg, chunk_samples,
+            coalesce_ms=stream_coalesce_ms, pipelined=stream_pipelined,
+        )
         if n_stream_slots > 0
         else None
     )

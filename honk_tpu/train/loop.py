@@ -316,9 +316,14 @@ def train(
 def evaluate(cfg: ExperimentConfig, variables: dict[str, Any], dataset: PackedDataset | None = None) -> float:
     """Test-set accuracy for given weights (reference --type eval path)."""
     if dataset is None:
+        # Same sampling knobs as train(): an eval with non-default
+        # unknown/silence probabilities must score the same test-set
+        # composition the training run reported (ADVICE r4).
         dataset = load_speech_commands(
             cfg.data.data_dir,
             wanted_words=tuple(cfg.data.wanted_words),
+            unknown_prob=cfg.data.unknown_prob,
+            silence_prob=cfg.data.silence_prob,
             dev_pct=cfg.data.dev_pct,
             test_pct=cfg.data.test_pct,
             seed=cfg.data.seed,

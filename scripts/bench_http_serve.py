@@ -1,11 +1,17 @@
-"""End-to-end HTTP serving capacity bench (VERDICT r3 #3b).
+"""End-to-end HTTP serving capacity bench (VERDICT r3 #3b, r4 #1).
 
 The device-layer stream bench (scripts/bench_stream.py) times ONLY the
-jitted slab step; the product surface adds HTTP parsing, base64 decode, a
-Python session loop, and host-side detection. This script measures what
-the REAL path sustains: N concurrent gateway threads, each holding a
-block of sessions on one ThreadingHTTPServer + StreamHub, pushing
-/stream/push_many ticks for >= ``--seconds`` seconds.
+jitted slab step; the product surface adds HTTP parsing, payload decode, a
+session hub, and host-side detection. This script measures what the REAL
+path sustains: N concurrent gateway threads, each holding a block of
+sessions on one ThreadingHTTPServer + StreamHub, pushing per-tick frames
+for >= ``--seconds`` seconds over persistent HTTP/1.1 connections.
+
+Round-5 serving path (VERDICT r4 #1): gateways post BINARY frames
+(/stream/push_bin — raw PCM16, no JSON/base64 per chunk), the hub
+COALESCES concurrent gateway ticks into full-slab dispatches, and per-tick
+detection is one vectorized numpy pass. ``--json`` falls back to the r4
+JSON+base64 push_many path for an apples-to-apples regression point.
 
 Reported metric: sustained real-time streams/chip through HTTP — i.e.
 audio-seconds pushed per wall-clock second (each live stream consumes
@@ -14,19 +20,19 @@ same slab size (one BatchStreamer loop, no HTTP), so the host share of
 the gap is explicit.
 
     python scripts/bench_http_serve.py --slots 64 --gateways 4 --seconds 60 \
-        --checkpoint zoo_hard/res8.pt --out runs/bench_http_serve_r04.json
+        --checkpoint zoo_hard_v2/res8.pt --out runs/bench_http_serve_r05.json
 """
 
 from __future__ import annotations
 
 import argparse
 import base64
+import http.client
 import json
 import os
 import sys
 import threading
 import time
-import urllib.request
 
 import numpy as np
 
@@ -36,11 +42,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="res8")
-    p.add_argument("--checkpoint", default="zoo_hard/res8.pt")
+    p.add_argument("--checkpoint", default="zoo_hard_v2/res8.pt")
     p.add_argument("--slots", type=int, default=64)
     p.add_argument("--gateways", type=int, default=4)
     p.add_argument("--seconds", type=float, default=60.0)
     p.add_argument("--chunk", type=int, default=3200)
+    p.add_argument("--coalesce-ms", type=float, default=4.0)
+    p.add_argument("--pipelined", action="store_true",
+                   help="double-buffered hub: responses lag one chunk, the "
+                        "result fetch overlaps the next tick's device step")
+    p.add_argument("--inflight", type=int, default=0,
+                   help="HTTP requests each gateway keeps in flight (needs "
+                        "--pipelined for >1; 0 = auto: 2 pipelined, 1 sync). "
+                        "Streaming clients push the next chunk without "
+                        "blocking on the previous response, so >1 models "
+                        "the real client; sessions stay strictly ordered "
+                        "(a chunk only joins a tick after the previous "
+                        "one dispatched).")
+    p.add_argument("--json", action="store_true",
+                   help="use the JSON+base64 push_many path (r4 baseline) "
+                        "instead of binary /stream/push_bin")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -78,27 +99,28 @@ def main(argv: list[str] | None = None) -> int:
     httpd = serve(
         svc, port=0, enable_training=False,
         n_stream_slots=args.slots, chunk_samples=args.chunk,
+        stream_coalesce_ms=args.coalesce_ms, stream_pipelined=args.pipelined,
     )
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
 
-    def post_json(path, obj):
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}{path}",
-            data=json.dumps(obj).encode(),
-            headers={"Content-Type": "application/json"},
-        )
-        with urllib.request.urlopen(req) as r:
-            return json.loads(r.read())
+    # Count actual slab dispatches: coalescing quality = chunks/dispatch
+    # (ideal = slots, i.e. every tick advances the full slab).
+    hub = httpd.hub
+    dispatch_n = [0]
+    real_process = hub._bs.process
+
+    def counting_process(state, chs, msk):
+        dispatch_n[0] += 1
+        return real_process(state, chs, msk)
+
+    hub._bs.process = counting_process
 
     if args.slots % args.gateways != 0:
         p.error(f"--slots ({args.slots}) must be divisible by --gateways ({args.gateways}) "
                 "so every slot is driven (otherwise host_share is skewed)")
     per_gateway = args.slots // args.gateways
     assert per_gateway >= 1
-    # Pre-encode one tick's payload per gateway (clients would encode their
-    # own audio; the SERVER cost is what we are measuring — but we also
-    # report the all-inclusive number where gateways re-encode each tick).
     pcm = (chunks[0] * 32767).astype("<i2").tobytes()
     b64 = base64.b64encode(pcm).decode()
 
@@ -106,19 +128,68 @@ def main(argv: list[str] | None = None) -> int:
     stop = threading.Event()
     errors: list[str] = []
 
+    inflight = args.inflight or (2 if args.pipelined else 1)
+    if inflight > 1 and not args.pipelined:
+        p.error("--inflight > 1 requires --pipelined (sync pushes would "
+                "block each other on the same sessions)")
+
     def gateway(g: int):
+        # Persistent HTTP/1.1 connections; with --inflight > 1 the gateway
+        # round-robins connections, posting the next tick before reading
+        # the previous response — the shape of a real streaming client,
+        # which does not block its audio loop on each result.
+        conns = [http.client.HTTPConnection("127.0.0.1", port) for _ in range(inflight)]
+        pending = [None] * inflight  # path awaiting a response per conn
+
+        def read_reply(c: int) -> dict:
+            resp = conns[c].getresponse()
+            data = resp.read()
+            if resp.status != 200:
+                raise RuntimeError(f"{pending[c]} -> {resp.status}: {data[:200]!r}")
+            pending[c] = None
+            return json.loads(data)
+
+        def post(c: int, path: str, body: bytes, ctype: str) -> None:
+            conns[c].request("POST", path, body, {"Content-Type": ctype})
+            pending[c] = path
+
+        def rpc(path: str, obj) -> dict:
+            post(0, path, json.dumps(obj).encode(), "application/json")
+            return read_reply(0)
+
         try:
-            sids = [post_json("/stream/open", {})["stream_id"] for _ in range(per_gateway)]
-            payload = {sid: b64 for sid in sids}
+            sids = [rpc("/stream/open", {})["stream_id"] for _ in range(per_gateway)]
+            if args.json:
+                path, ctype = "/stream/push_many", "application/json"
+                frame = json.dumps({"chunks": {sid: b64 for sid in sids}}).encode()
+            else:
+                # Binary frame prebuilt once (audio constant per tick, as in
+                # the r4 bench): header JSON + per_gateway PCM16 blocks.
+                header = json.dumps({"stream_ids": sids}).encode()
+                frame = len(header).to_bytes(4, "little") + header + pcm * per_gateway
+                path, ctype = "/stream/push_bin", "application/octet-stream"
+            i = 0
             while not stop.is_set():
-                out = post_json("/stream/push_many", {"chunks": payload})
-                assert len(out["results"]) == per_gateway
-                counts[g] += per_gateway
+                c = i % inflight
+                if pending[c] is not None:
+                    out = read_reply(c)
+                    assert len(out["results"]) == per_gateway
+                    counts[g] += per_gateway
+                post(c, path, frame, ctype)
+                i += 1
+            for c in range(inflight):  # drain
+                if pending[c] is not None:
+                    out = read_reply(c)
+                    assert len(out["results"]) == per_gateway
+                    counts[g] += per_gateway
             for sid in sids:
-                post_json("/stream/close", {"stream_id": sid})
+                rpc("/stream/close", {"stream_id": sid})
         except Exception as e:  # pragma: no cover
             errors.append(repr(e))
             stop.set()
+        finally:
+            for conn in conns:
+                conn.close()
 
     threads = [threading.Thread(target=gateway, args=(g,)) for g in range(args.gateways)]
     t0 = time.perf_counter()
@@ -142,6 +213,12 @@ def main(argv: list[str] | None = None) -> int:
         "unit": "streams (1s audio/s each)",
         "device_only_streams": round(device_streams, 1),
         "host_share": round(1.0 - http_streams / device_streams, 4),
+        "payload": "json+base64" if args.json else "binary pcm16",
+        "pipelined": args.pipelined,
+        "inflight": inflight,
+        "coalesce_ms": args.coalesce_ms,
+        "dispatches": dispatch_n[0],
+        "chunks_per_dispatch": round(total_chunks / max(1, dispatch_n[0]), 1),
         "slots": args.slots,
         "gateways": args.gateways,
         "chunk_samples": args.chunk,
@@ -152,8 +229,9 @@ def main(argv: list[str] | None = None) -> int:
         "device": str(jax.devices()[0]),
         "note": (
             "server+gateways share one 2-core host process; device_only_streams "
-            "is the same slab stepped without HTTP. The gap is host work: "
-            "json+base64 parse, per-session Python loop, incremental detection."
+            "is the same slab stepped without HTTP. Gateways reuse one HTTP/1.1 "
+            "connection each; the hub coalesces concurrent gateway ticks into "
+            "full-slab dispatches and detects events in one vectorized pass."
         ),
     }
     line = json.dumps(result)
