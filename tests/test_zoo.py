@@ -137,6 +137,48 @@ def test_zoo_hard_v2_ladder_stats_consistent():
         assert s["winner"] == winner, (key, s)
 
 
+def test_zoo_hard_v2_split_sizes_recomputable():
+    """VERDICT r4 #4: the instrument's split accounting must be
+    unambiguous and recomputable. From the corpus FILE LISTING alone
+    (SHA1 bucketing hashes filenames — no decode): train = known-bucket
+    files + int(0.1*known) unknowns, NO materialized silence (train
+    silence is synthesized per batch); dev/test additionally get
+    int(0.1*n) materialized silence. Must equal MANIFEST split_sizes."""
+    import os
+
+    from honk_tpu.data import DEFAULT_WANTED_WORDS
+    from honk_tpu.data import splits as S
+
+    with open("zoo_hard_v2/MANIFEST.json") as f:
+        manifest = json.load(f)
+    root = manifest["corpus"]
+    words = set(manifest["corpus_recipe"]["words"])
+    assert words == set(DEFAULT_WANTED_WORDS)
+    known = [0, 0, 0]
+    for folder in sorted(os.listdir(root)):
+        path = os.path.join(root, folder)
+        if not os.path.isdir(path) or folder == "_background_noise_":
+            continue
+        if folder not in words:
+            continue  # unknown-word files are ALLOCATED, not bucketed
+        for fname in sorted(os.listdir(path)):
+            if fname.endswith(".wav"):
+                known[S.which_set(os.path.join(path, fname), 10, 80)] += 1
+    expect = {}
+    for bucket, name in ((S.TRAIN, "train"), (S.DEV, "dev"), (S.TEST, "test")):
+        n = known[bucket] + int(0.1 * known[bucket])  # + unknown allocation
+        if name != "train":
+            n += int(0.1 * n)  # materialized silence (dev/test only)
+        expect[name] = n
+    assert expect == manifest["split_sizes"], (expect, manifest["split_sizes"])
+    # And the adopted instrument probe row records the SAME sizes.
+    with open("runs/instrument_probes_r04.json") as f:
+        probes = json.load(f)["probes"]
+    adopted = [p for p in probes if "ADOPTED" in p.get("split", "")]
+    assert len(adopted) == 1
+    assert f"train {expect['train']}, dev {expect['dev']}, test {expect['test']}" in adopted[0]["split"]
+
+
 @pytest.mark.slow
 def test_committed_zoo_hard_v2_accuracy_band(tmp_path, capsys):
     """SLOW full-fidelity gate (VERDICT r3 #1 'tighten the band to +-3%'):
