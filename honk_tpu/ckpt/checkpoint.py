@@ -56,7 +56,24 @@ class Checkpointer:
         self._ckptr.wait_until_finished()
         path = self._path(name)
         if template is not None:
-            return self._ckptr.restore(path, target=_to_numpy(template))
+            out = self._ckptr.restore(path, target=_to_numpy(template))
+            # Orbax validates tree STRUCTURE against the template but not
+            # leaf shapes — a same-structure checkpoint from a different
+            # run would restore wrong-shaped arrays that only blow up at
+            # the first train step. Check here, where the cause is clear.
+            mismatched = [
+                f"{jax.tree_util.keystr(k)}: ckpt {np.shape(a)} != expected {np.shape(b)}"
+                for (k, a), b in zip(
+                    jax.tree_util.tree_leaves_with_path(out), jax.tree.leaves(template)
+                )
+                if hasattr(b, "shape") and np.shape(a) != np.shape(b)
+            ]
+            if mismatched:
+                raise ValueError(
+                    f"checkpoint {name!r} in {self.directory!r} has mismatched "
+                    f"array shapes: {'; '.join(mismatched[:5])}"
+                )
+            return out
         return self._ckptr.restore(path)
 
     def latest_step(self) -> int | None:
@@ -81,7 +98,21 @@ class Checkpointer:
         step = self.latest_step()
         if step is None:
             return None
-        return step, self.restore(f"step_{step:08d}", template)
+        try:
+            return step, self.restore(f"step_{step:08d}", template)
+        except Exception as e:
+            # Orbax surfaces template/checkpoint structure mismatches as
+            # opaque tree errors; the by-far most common cause is resuming
+            # into a checkpoint dir written by a DIFFERENT run (other
+            # model, corpus, or split). Fail with the actionable cause.
+            raise RuntimeError(
+                f"failed to restore checkpoint step_{step:08d} from "
+                f"{self.directory!r} against the current train state — the "
+                "directory likely holds a different run's checkpoints "
+                "(different model/corpus/split). Use a fresh --output_dir "
+                "to start a new run, or delete the stale checkpoints to "
+                "retrain in place."
+            ) from e
 
     def has(self, name: str) -> bool:
         self._ckptr.wait_until_finished()

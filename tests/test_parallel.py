@@ -179,3 +179,59 @@ def test_dp_step_collective_bytes_match_param_count():
     # The total per-step collective payload is what SCALING.md's 2-host
     # projection uses: params + <5% overhead.
     assert total < 1.05 * grad_bytes
+
+
+def test_cross_topology_checkpoint_resume(tmp_path):
+    """VERDICT r4 #8: a checkpoint written by a single-device run must
+    resume onto an 8-device mesh (and the reverse) and CONTINUE training —
+    exactly what a real multi-host deployment does first. Checkpoints
+    store host arrays (device_get at save), so they are topology-free;
+    this pins that property end to end through train()'s resume path."""
+    from honk_tpu import data as D
+    from honk_tpu.config import DataConfig, ExperimentConfig, MeshConfig, TrainConfig
+
+    from honk_tpu.train import train
+
+    root = str(tmp_path / "sc")
+    D.generate_dataset(root, clips_per_word=6, n_speakers=3, noise_seconds=2)
+
+    def cfg(n_devices, n_epochs):
+        return ExperimentConfig(
+            data=DataConfig(data_dir=root, noise_prob=0.1),
+            train=TrainConfig(
+                model="res8-narrow", batch_size=16, n_epochs=n_epochs,
+                lr=(0.01,), schedule=(), dev_every=2, eval_batch_size=32,
+            ),
+            mesh=MeshConfig(n_devices=n_devices),
+        )
+
+    # 1 device -> 8 devices
+    ck1 = str(tmp_path / "ck1")
+    r1 = train(cfg(1, 2), checkpoint_dir=ck1, save_every_epochs=1)
+    step_1dev = int(r1["state"].step)
+    r2 = train(cfg(8, 4), checkpoint_dir=ck1, save_every_epochs=10)
+    assert int(r2["state"].step) > step_1dev  # continued
+    assert int(r2["state"].step) < 2 * step_1dev + 4  # did NOT redo epochs 0-1
+    # The resumed state really trained under the 8-device mesh and the
+    # final eval ran; params are finite.
+    assert np.isfinite(r2["test_acc"])
+    for leaf in jax.tree.leaves(r2["state"].params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # 8 devices -> 1 device
+    ck2 = str(tmp_path / "ck2")
+    r3 = train(cfg(8, 2), checkpoint_dir=ck2, save_every_epochs=1)
+    step_8dev = int(r3["state"].step)
+    r4 = train(cfg(1, 4), checkpoint_dir=ck2, save_every_epochs=10)
+    assert int(r4["state"].step) > step_8dev
+    assert int(r4["state"].step) < 2 * step_8dev + 4
+    assert np.isfinite(r4["test_acc"])
+
+    # Same data, same seeds, same total epochs: the two topology paths
+    # land within float-reduction noise of each other (the mesh only
+    # changes where per-example compute runs and the all-reduce order).
+    np.testing.assert_allclose(
+        np.asarray(r2["state"].step), np.asarray(r4["state"].step)
+    )
+    for a, b in zip(jax.tree.leaves(r2["state"].params), jax.tree.leaves(r4["state"].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)

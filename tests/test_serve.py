@@ -917,3 +917,34 @@ def test_pipelined_hub_concurrent_sessions_match_streamers(service):
     assert not errors, errors
     for sid in sids:
         hub.close(sid)
+
+
+def test_restore_latest_mismatched_run_is_actionable(tmp_path):
+    """Resuming into a checkpoint dir written by a DIFFERENT run (other
+    model/corpus/split) must fail with an actionable error, not an opaque
+    orbax tree mismatch (round-5 field failure: stale default
+    --output_dir)."""
+    from honk_tpu.ckpt import Checkpointer
+
+    ck = Checkpointer(str(tmp_path))
+    ck.save_step(5, {"params": {"conv0": np.zeros((3, 3), np.float32)}, "epoch": 1})
+    ck.wait_until_finished()
+    with pytest.raises(RuntimeError, match="different run's checkpoints"):
+        # Different tree structure (another model's param/opt layout).
+        ck.restore_latest(
+            {"params": {"dense": np.zeros((4,), np.float32),
+                        "bn": np.zeros((2,), np.float32)}, "epoch": 0}
+        )
+
+
+def test_restore_latest_shape_mismatch_is_actionable(tmp_path):
+    """Orbax validates tree structure but NOT leaf shapes; a
+    same-structure checkpoint from another run must be caught at restore
+    time (clear error) rather than at the first train step."""
+    from honk_tpu.ckpt import Checkpointer
+
+    ck = Checkpointer(str(tmp_path))
+    ck.save_step(7, {"params": np.arange(9, dtype=np.float32).reshape(3, 3), "epoch": 1})
+    ck.wait_until_finished()
+    with pytest.raises(RuntimeError, match="different run's checkpoints"):
+        ck.restore_latest({"params": np.zeros((7, 2), np.float32), "epoch": 0})

@@ -125,10 +125,23 @@ def test_zoo_hard_v2_ladder_stats_consistent():
         assert s["resolved_2se"] == (abs(z) >= 2.0), key
 
     # The capacity ordering the instrument exists to pin (paper ordering;
-    # res15-vs-res26 is a paper-consistent near-tie and not required).
+    # res15-vs-res26 and res15-narrow-vs-res26-narrow are paper-consistent
+    # near-ties and not required). res26-narrow rows require the 78-epoch
+    # retrain (VERDICT r4 #3a, MANIFEST recipe_note): at the 26-epoch
+    # recipe the 24-layer narrow net was undertrained and inverted the
+    # res26-narrow-vs-res8-narrow direction.
+    # cnn-trad-pool2 rows require the stable-lr retrain (r5 recipe_note):
+    # at lr 0.01 the dropout+dense net diverges on this corpus and the r4
+    # row sat a spurious 20 points below res8. Paper position: ~res8-narrow
+    # level, below every residual-wide model.
     required = [
         ("res15", "res8"), ("res26", "res8"), ("res8", "res8-narrow"),
         ("res15", "res8-narrow"), ("res26", "res8-narrow"),
+        ("res15-narrow", "res8-narrow"), ("res26-narrow", "res8-narrow"),
+        ("res8", "cnn-trad-pool2"), ("res15", "cnn-trad-pool2"),
+        ("res26", "cnn-trad-pool2"), ("res15-narrow", "cnn-trad-pool2"),
+        ("res26-narrow", "cnn-trad-pool2"),
+        ("cnn-trad-pool2", "res8-narrow"),
     ]
     for winner, loser in required:
         key = f"{winner}_vs_{loser}" if f"{winner}_vs_{loser}" in stats["pairwise"] else f"{loser}_vs_{winner}"
