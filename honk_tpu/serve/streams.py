@@ -342,6 +342,10 @@ class StreamHub:
                 self._next_seq += 1
                 self._outstanding += 1
                 self._last_tick = tick
+                # The device owns its copy now; drop the (n_slots, chunk)
+                # staging buffer so in-flight ticks don't pin ~n_slots*chunk
+                # *4 bytes each at pipeline depth.
+                tick.chunks = None
             tick.dispatched.set()
             if self.pipelined:
                 # Never wait for results here: the background pool fetches
@@ -429,7 +433,11 @@ class StreamHub:
         rows = fetched[slots]  # (k, n_labels)
         labs = rows.argmax(axis=1)
         k = len(sess_list)
-        scores = rows[np.arange(k), labs]
+        # float64, matching detect_step's `float(probs[label])` compare:
+        # numpy's weak scalar promotion would otherwise compare in float32
+        # and a score within 1 ULP of the threshold could diverge from the
+        # byte-identical-events contract.
+        scores = rows[np.arange(k), labs].astype(np.float64)
         i_vals = self._det_i[slots]
         fire = (
             (labs >= 2)  # a keyword wins the window (not silence/unknown)
