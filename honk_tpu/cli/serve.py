@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
              "open session already joined)",
     )
     p.add_argument(
+        "--wire-dtype", choices=["float32", "int16"], default="float32",
+        help="int16 ships raw PCM16 chunks to the device and decodes "
+             "on-chip: half the host->device bytes, no host float "
+             "conversion on the binary path (PCM16-derived audio "
+             "round-trips exactly)",
+    )
+    p.add_argument(
         "--pipelined", action="store_true",
         help="double-buffered stream hub: each push returns the session's "
              "PREVIOUS chunk's result (exact lag-1), hiding the device "
@@ -63,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_samples=args.chunk_samples,
         stream_coalesce_ms=args.coalesce_ms,
         stream_pipelined=args.pipelined,
+        stream_wire_dtype=args.wire_dtype,
     )
     print(f"listening on :{args.port} model={args.model} labels={service.labels}")
     try:

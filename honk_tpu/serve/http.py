@@ -305,8 +305,10 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
                         f"payload has {pcm.size} samples, expected "
                         f"{len(sids)} x {hub.chunk}"
                     )
-                rows = pcm.astype(np.float32).reshape(len(sids), hub.chunk)
-                rows /= 32768.0
+                # Hand the hub raw int16: with wire_dtype="int16" it goes
+                # to the device verbatim (decoded on-chip); with the
+                # default float wire the hub converts once, vectorized.
+                rows = pcm.reshape(len(sids), hub.chunk)
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": f"bad binary frame: {e}"})
                 return
@@ -371,6 +373,7 @@ def serve(
     chunk_samples: int = 3200,
     stream_coalesce_ms: float = 2.0,
     stream_pipelined: bool = False,
+    stream_wire_dtype: str = "float32",
 ) -> ThreadingHTTPServer:
     """Start the HTTP front end (returns the server; call serve_forever).
 
@@ -391,6 +394,7 @@ def serve(
         StreamHub(
             service, n_stream_slots, stream_cfg, chunk_samples,
             coalesce_ms=stream_coalesce_ms, pipelined=stream_pipelined,
+            wire_dtype=stream_wire_dtype,
         )
         if n_stream_slots > 0
         else None

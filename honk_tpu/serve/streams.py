@@ -114,8 +114,8 @@ class _Tick:
         "dispatched", "done", "error", "fetch_error", "results",
     )
 
-    def __init__(self, n_slots: int, chunk: int):
-        self.chunks = np.zeros((n_slots, chunk), np.float32)
+    def __init__(self, n_slots: int, chunk: int, dtype=np.float32):
+        self.chunks = np.zeros((n_slots, chunk), dtype)
         self.mask = np.zeros((n_slots,), bool)
         self.sessions: list[StreamSession] = []
         self.seq = -1  # assigned at successful dispatch
@@ -142,12 +142,21 @@ class StreamHub:
         coalesce_ms: float = 0.0,
         pipelined: bool = False,
         pipeline_depth: int = 4,
+        wire_dtype: str = "float32",
     ):
         self.cfg = cfg or StreamConfig()
         self.chunk = chunk_samples
         self.n_slots = n_slots
         self.labels = service.labels
         self.pipelined = pipelined
+        # "int16": ship raw PCM16 to the device and decode there — half
+        # the host->device bytes and zero host float conversion on the
+        # binary path. PCM16-derived float chunks (every HTTP path)
+        # round-trip EXACTLY (x = i/32768 is a power-of-two division);
+        # direct float pushes quantize to the nearest PCM16 step.
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(f"wire_dtype must be float32|int16, got {wire_dtype!r}")
+        self.wire_dtype = np.int16 if wire_dtype == "int16" else np.float32
         self._bs = service.make_batch_streamer(
             n_slots, self.cfg, chunk_samples, data_axis
         )
@@ -244,6 +253,15 @@ class StreamHub:
             )
         if len(set(sids)) != len(sids):
             raise ValueError("duplicate stream_id in one push")
+        if rows.dtype != self.wire_dtype:
+            if self.wire_dtype == np.int16:
+                # Exact for PCM16-derived floats (i/32768 * 32768 == i);
+                # arbitrary floats quantize to the nearest PCM16 step.
+                rows = np.clip(
+                    np.rint(rows * np.float32(32768.0)), -32768, 32767
+                ).astype(np.int16)
+            else:
+                rows = rows.astype(np.float32) / np.float32(32768.0)
         while True:
             with self._cv:
                 sessions = []
@@ -267,7 +285,9 @@ class StreamHub:
                     tick = self._pending
                     leader = tick is None
                     if leader:
-                        tick = self._pending = _Tick(self.n_slots, self.chunk)
+                        tick = self._pending = _Tick(
+                            self.n_slots, self.chunk, self.wire_dtype
+                        )
                     # Each session's own previous tick: the pipelined
                     # response waits for exactly that to be applied
                     # (lag-1 contract) — nothing else.

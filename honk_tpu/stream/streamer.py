@@ -293,6 +293,12 @@ class Streamer:
         )
 
     def _step_impl(self, variables, state: StreamState, chunk: jax.Array):
+        # PCM16 wire format decodes ON DEVICE: serving can ship raw int16
+        # (half the host->device bytes of float32, zero host conversion)
+        # and the step upcasts with the exact _decode_pcm16 scaling. jit
+        # specializes per input dtype, so the float path is unchanged.
+        if chunk.dtype == jnp.int16:
+            chunk = chunk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         # Assemble [tail | chunk]; new frames start inside the tail so each
         # 480-sample frame has full left context (no center padding online —
         # a causal 30 ms latency instead).
@@ -420,8 +426,11 @@ class BatchStreamer:
         slots' states are untouched and their posterior row is zeros.
         """
         assert chunks.shape == (self.n_streams, self.chunk), chunks.shape
+        # int16 chunks pass through verbatim (decoded on device); anything
+        # else is normalized to float32 as before.
+        dtype = jnp.int16 if chunks.dtype == np.int16 else jnp.float32
         if mask is None:
-            return self._step_all(self.variables, state, jnp.asarray(chunks, jnp.float32))
+            return self._step_all(self.variables, state, jnp.asarray(chunks, dtype))
         return self._step_masked(
-            self.variables, state, jnp.asarray(chunks, jnp.float32), jnp.asarray(mask, bool)
+            self.variables, state, jnp.asarray(chunks, dtype), jnp.asarray(mask, bool)
         )

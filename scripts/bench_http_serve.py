@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--json", action="store_true",
                    help="use the JSON+base64 push_many path (r4 baseline) "
                         "instead of binary /stream/push_bin")
+    p.add_argument("--wire-dtype", choices=["float32", "int16"], default="float32",
+                   help="int16: raw PCM16 goes to the device verbatim and "
+                        "decodes on-chip (half the host->device bytes)")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -100,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         svc, port=0, enable_training=False,
         n_stream_slots=args.slots, chunk_samples=args.chunk,
         stream_coalesce_ms=args.coalesce_ms, stream_pipelined=args.pipelined,
+        stream_wire_dtype=args.wire_dtype,
     )
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -216,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
         "payload": "json+base64" if args.json else "binary pcm16",
         "pipelined": args.pipelined,
         "inflight": inflight,
+        "wire_dtype": args.wire_dtype,
         "coalesce_ms": args.coalesce_ms,
         "dispatches": dispatch_n[0],
         "chunks_per_dispatch": round(total_chunks / max(1, dispatch_n[0]), 1),

@@ -948,3 +948,98 @@ def test_restore_latest_shape_mismatch_is_actionable(tmp_path):
     ck.wait_until_finished()
     with pytest.raises(RuntimeError, match="different run's checkpoints"):
         ck.restore_latest({"params": np.zeros((7, 2), np.float32), "epoch": 0})
+
+
+def test_pipelined_hub_open_close_churn(service):
+    """Chaos coverage for the pipelined hub's riskiest interleavings:
+    threads continuously open/push/close sessions (slot recycling under
+    coalescing + background fetchers) while others stream steadily. No
+    deadlock, no cross-session contamination: every session's lag-1
+    posteriors equal an independent Streamer on its own audio."""
+    from honk_tpu.config import StreamConfig
+    from honk_tpu.serve import StreamHub
+    from honk_tpu.stream import Streamer
+
+    scfg = StreamConfig(smoothing_window=3)
+    chunk, ticks, churn_rounds = 3200, 4, 3
+    hub = StreamHub(service, n_slots=4, cfg=scfg, chunk_samples=chunk,
+                    coalesce_ms=10.0, pipelined=True)
+    rng = np.random.default_rng(101)
+    audio = (rng.standard_normal((4, ticks * chunk)) * 0.1).astype(np.float32)
+
+    ref = []
+    for i in range(4):
+        s = Streamer(service.model, service.variables, scfg, chunk)
+        st = s.reset()
+        rows = []
+        for t in range(ticks):
+            st, post = s.process(st, audio[i, t * chunk : (t + 1) * chunk])
+            rows.append(np.asarray(post))
+        ref.append(np.stack(rows))
+
+    errors = []
+
+    def churner(i):
+        # Fresh session per round: exercises slot recycle + close-flush
+        # while other sessions are mid-tick.
+        try:
+            for _ in range(churn_rounds):
+                sid = hub.open()
+                for t in range(ticks):
+                    out = hub.push(sid, audio[i, t * chunk : (t + 1) * chunk])
+                    if t == 0:
+                        assert out.get("pending") is True
+                    else:
+                        np.testing.assert_allclose(
+                            np.asarray(out["posterior"]), ref[i][t - 1], atol=1e-5
+                        )
+                hub.close(sid)
+        except Exception as e:  # pragma: no cover
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=churner, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+        assert not th.is_alive(), "pipelined hub deadlocked under churn"
+    assert not errors, errors
+    # All slots recycled cleanly.
+    sids = [hub.open() for _ in range(4)]
+    for sid in sids:
+        hub.close(sid)
+
+
+def test_int16_wire_hub_matches_float_wire_exactly(service):
+    """wire_dtype="int16" ships raw PCM16 to the device and decodes
+    on-chip; for PCM16-derived audio (every HTTP path) the round trip is
+    EXACT, so posteriors and events must equal the float-wire hub's
+    bit-for-bit."""
+    from honk_tpu.config import StreamConfig
+    from honk_tpu.serve import StreamHub
+
+    scfg = StreamConfig(smoothing_window=3, detection_threshold=0.05, min_gap_windows=2)
+    chunk, ticks = 3200, 6
+    rng = np.random.default_rng(61)
+    pcm = (rng.standard_normal((ticks, chunk)) * 9000).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0  # _decode_pcm16 convention
+
+    hub_f = StreamHub(service, n_slots=2, cfg=scfg, chunk_samples=chunk)
+    hub_i = StreamHub(service, n_slots=2, cfg=scfg, chunk_samples=chunk,
+                      wire_dtype="int16")
+    sid_f, sid_i = hub_f.open(), hub_i.open()
+    for t in range(ticks):
+        out_f = hub_f.push(sid_f, as_float[t])
+        # int16 hub accepts the float form too (exact re-quantization)...
+        out_i = hub_i.push(sid_i, as_float[t])
+        assert out_i["posterior"] == out_f["posterior"]
+        assert out_i["events"] == out_f["events"]
+    # ...and raw int16 rows through push_rows (the binary HTTP path).
+    hub_r = StreamHub(service, n_slots=2, cfg=scfg, chunk_samples=chunk,
+                      wire_dtype="int16")
+    sid_r = hub_r.open()
+    for t in range(ticks):
+        out_r = hub_r.push_rows([sid_r], pcm[t : t + 1])[sid_r]
+        # same series as hub_i: identical posteriors tick for tick
+    assert hub_r.close(sid_r)["events"] == hub_i.close(sid_i)["events"]
+    hub_f.close(sid_f)
