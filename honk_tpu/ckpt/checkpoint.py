@@ -100,6 +100,11 @@ class Checkpointer:
             return None
         try:
             return step, self.restore(f"step_{step:08d}", template)
+        except OSError:
+            # Transient/filesystem failures are NOT a template mismatch —
+            # the "use a fresh dir / delete the checkpoints" advice below
+            # would destroy a perfectly good run. Let the real error out.
+            raise
         except Exception as e:
             # Orbax surfaces template/checkpoint structure mismatches as
             # opaque tree errors; the by-far most common cause is resuming

@@ -158,8 +158,10 @@ document.getElementById('live').onclick = async function () {
         try {
           const j = await post('/stream/push',
             {stream_id: sid, wav_data: pcm16b64(resample(take, ctx.sampleRate, chunk_samples))});
-          out.textContent = `${j.label} (p=${j.prob.toFixed(2)})`;
-          for (const ev of j.events)
+          // Pipelined servers answer the first push (and fetch-degraded
+          // ticks) with {pending: true} and no label/prob.
+          if (!j.pending) out.textContent = `${j.label} (p=${j.prob.toFixed(2)})`;
+          for (const ev of (j.events || []))
             eventsDiv.textContent = `${ev.time_s.toFixed(1)}s  ${ev.label}  p=${ev.prob.toFixed(2)}\\n` + eventsDiv.textContent;
         } finally { busy = false; }
       }
@@ -290,12 +292,19 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
             Frame: u32 LE header length | header JSON | PCM16 samples (one
             ``hub.chunk``-sample block per stream id, in header order).
             """
+            # Read the body FIRST even on error paths: under HTTP/1.1
+            # keep-alive, unread request bytes would be parsed as the next
+            # request line and desync the connection.
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+            except ValueError as e:
+                self._send(400, {"error": f"bad request: {e}"})
+                return
             if hub is None:
                 self._send(503, {"error": "streaming disabled"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(n)
                 hlen = int.from_bytes(body[:4], "little")
                 header = json.loads(body[4 : 4 + hlen])
                 sids = header["stream_ids"]
@@ -401,4 +410,15 @@ def serve(
     )
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service, trainer, hub))
     httpd.hub = hub
+    if hub is not None:
+        # server_close also stops the hub's background fetcher pool
+        # (pipelined mode) so repeated serve()/close cycles in one process
+        # don't leak threads.
+        orig_close = httpd.server_close
+
+        def _close_all():
+            hub.shutdown()
+            orig_close()
+
+        httpd.server_close = _close_all
     return httpd

@@ -89,7 +89,7 @@ from ..frontend import filters as F
 
 
 class StreamSession:
-    __slots__ = ("sid", "slot", "events", "last_tick", "degraded", "res2")
+    __slots__ = ("sid", "slot", "events", "last_tick", "degraded")
 
     def __init__(self, sid: str, slot: int):
         self.sid = sid
@@ -97,13 +97,6 @@ class StreamSession:
         self.events: list[Detection] = []
         self.last_tick: _Tick | None = None  # most recent tick carrying this session
         self.degraded = False
-        # Two-deep (seq, result) history for pipelined lag-1 responses: at
-        # format time of tick T we need the session's latest result with
-        # seq < T.seq, and T's own apply may already have overwritten the
-        # newest slot (see push_rows). Two entries suffice because a
-        # session's client cannot push chunk k+1 before receiving chunk
-        # k's response.
-        self.res2: list[tuple[int, tuple] | None] = [None, None]
 
 
 class _Tick:
@@ -254,14 +247,21 @@ class StreamHub:
         if len(set(sids)) != len(sids):
             raise ValueError("duplicate stream_id in one push")
         if rows.dtype != self.wire_dtype:
-            if self.wire_dtype == np.int16:
-                # Exact for PCM16-derived floats (i/32768 * 32768 == i);
-                # arbitrary floats quantize to the nearest PCM16 step.
+            if rows.dtype == np.int16:
+                # Raw PCM16 toward a float wire: the _decode_pcm16 scaling.
+                rows = rows.astype(np.float32) / np.float32(32768.0)
+            elif self.wire_dtype == np.int16:
+                # Float audio toward the int16 wire — exact for
+                # PCM16-derived floats (i/32768 * 32768 == i); arbitrary
+                # floats quantize to the nearest PCM16 step.
                 rows = np.clip(
-                    np.rint(rows * np.float32(32768.0)), -32768, 32767
+                    np.rint(rows.astype(np.float32) * np.float32(32768.0)),
+                    -32768, 32767,
                 ).astype(np.int16)
             else:
-                rows = rows.astype(np.float32) / np.float32(32768.0)
+                # e.g. float64 audio with the float32 wire: convert only —
+                # dividing here would silently crush real audio to ~1e-5.
+                rows = rows.astype(np.float32)
         while True:
             with self._cv:
                 sessions = []
@@ -316,7 +316,7 @@ class StreamHub:
         for t in prevs:
             if t is not None:
                 t.done.wait()
-        return self._format_pipelined(tick, sids, want_posterior)
+        return self._format_pipelined(sids, prevs, want_posterior)
 
     # ---- tick lifecycle (leader thread) ----
 
@@ -400,7 +400,23 @@ class StreamHub:
         # still applies ticks strictly in dispatch order.
         while True:
             tick = self._fetch_q.get()
+            if tick is None:  # shutdown sentinel
+                return
             self._ensure_applied(tick)
+
+    def shutdown(self) -> None:
+        """Stop the background fetcher pool (pipelined mode).
+
+        Already-dispatched ticks are still fetched/applied before the
+        threads exit (sentinels queue BEHIND them). Idempotent; a hub is
+        not usable for new pushes afterwards in pipelined mode.
+        """
+        with self._cv:
+            if not self._fetchers_started:
+                return
+            q = self._fetch_q
+        for _ in range(self._depth):
+            q.put(None)
 
     def _ensure_applied(self, tick: _Tick) -> None:
         """Fetch + apply ``tick`` exactly once; all other callers wait."""
@@ -477,9 +493,9 @@ class StreamHub:
                 )
                 sess.events.append(e)
                 new = [e]
-            res = (rows[j], int(labs[j]), float(scores[j]), new, sess.degraded)
-            tick.results[sess.sid] = res
-            sess.res2 = [sess.res2[1], (tick.seq, res)]
+            tick.results[sess.sid] = (
+                rows[j], int(labs[j]), float(scores[j]), new, sess.degraded
+            )
 
     # ---- response formatting ----
 
@@ -489,31 +505,30 @@ class StreamHub:
         return self._format([tick.results[sid] for sid in sids], sids, want_posterior)
 
     def _format_pipelined(
-        self, tick: _Tick, sids: Sequence[str], want_posterior: bool
+        self, sids: Sequence[str], prevs: Sequence["_Tick | None"], want_posterior: bool
     ) -> dict[str, dict[str, Any]]:
-        # Lag-1 contract: for each session, the latest APPLIED result with
-        # seq < tick.seq — exactly its previous chunk's result (see
-        # StreamSession.res2). Read under the apply lock: this tick's own
-        # apply may be running concurrently (the next leader).
-        picked: list[tuple | None] = []
-        with self._apply_cv:
-            for sid in sids:
-                sess = self._sessions.get(sid)
-                res = None
-                if sess is not None:
-                    for entry in reversed(sess.res2):
-                        if entry is not None and entry[0] < tick.seq:
-                            res = entry[1]
-                            break
-                picked.append(res)
+        # Lag-1 contract: each session's response is its OWN previous
+        # tick's applied result — looked up directly on that tick (the
+        # caller already waited for it), so no per-session history can be
+        # evicted by later applies, however the client overlaps requests.
+        picked: list[tuple | None] = [
+            None if prev is None else prev.results.get(sid)
+            for sid, prev in zip(sids, prevs)
+        ]
         out = self._format(
             [r for r in picked if r is not None],
             [sid for sid, r in zip(sids, picked) if r is not None],
             want_posterior,
         )
-        for sid, r in zip(sids, picked):
+        for sid, prev, r in zip(sids, prevs, picked):
             if r is None:
-                out[sid] = {"pending": True, "events": []}
+                d: dict[str, Any] = {"pending": True, "events": []}
+                if prev is not None:
+                    # The previous tick applied but produced no result for
+                    # this session: its fetch failed. Surface degraded
+                    # instead of re-delivering an older chunk's result.
+                    d["degraded"] = True
+                out[sid] = d
         return out
 
     def _format(

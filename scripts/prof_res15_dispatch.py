@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--long", type=int, default=40)
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
+    if not 0 < args.short < args.long:
+        p.error(f"need 0 < --short ({args.short}) < --long ({args.long}): "
+                "the marginal divisor is (long - short) and the key list "
+                "holds `long` entries")
 
     import jax
 

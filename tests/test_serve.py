@@ -1043,3 +1043,101 @@ def test_int16_wire_hub_matches_float_wire_exactly(service):
         # same series as hub_i: identical posteriors tick for tick
     assert hub_r.close(sid_r)["events"] == hub_i.close(sid_i)["events"]
     hub_f.close(sid_f)
+
+
+def test_pipelined_overlapped_pushes_keep_lag_one(service):
+    """A streaming client may post chunk k+1 before reading chunk k's
+    response (two requests in flight — the bench's --inflight shape).
+    Every response must STILL be exactly the previous chunk's result: the
+    lag-1 lookup reads the session's own previous tick directly, so no
+    history can be evicted by later applies."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from honk_tpu.config import StreamConfig
+    from honk_tpu.serve import StreamHub
+    from honk_tpu.stream import Streamer
+
+    scfg = StreamConfig(smoothing_window=3)
+    chunk, ticks = 3200, 8
+    hub = StreamHub(service, n_slots=2, cfg=scfg, chunk_samples=chunk, pipelined=True)
+    rng = np.random.default_rng(71)
+    audio = (rng.standard_normal((ticks, chunk)) * 0.1).astype(np.float32)
+
+    s = Streamer(service.model, service.variables, scfg, chunk)
+    st = s.reset()
+    ref = []
+    for t in range(ticks):
+        st, post = s.process(st, audio[t])
+        ref.append(np.asarray(post))
+
+    sid = hub.open()
+    outs = [None] * ticks
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pending = []
+        for t in range(ticks):
+            # Keep two pushes in flight; submission order = chunk order,
+            # and push_rows itself enforces per-session dispatch order.
+            pending.append((t, pool.submit(hub.push, sid, audio[t])))
+            if len(pending) == 2:
+                i, fut = pending.pop(0)
+                outs[i] = fut.result(timeout=60)
+        for i, fut in pending:
+            outs[i] = fut.result(timeout=60)
+    assert outs[0].get("pending") is True
+    for t in range(1, ticks):
+        assert "pending" not in outs[t], (t, outs[t])
+        np.testing.assert_allclose(
+            np.asarray(outs[t]["posterior"]), ref[t - 1], atol=1e-5
+        )
+    closed = hub.close(sid)
+    assert len(closed["events"]) >= 0
+    hub.shutdown()
+
+
+def test_pipelined_fetch_failure_yields_degraded_pending(service):
+    """In pipelined mode a background fetch failure must NOT re-deliver an
+    older chunk's result: the next push returns {pending, degraded} and
+    later pushes carry the degraded flag with correct lag-1 results."""
+    from honk_tpu.config import StreamConfig
+    from honk_tpu.serve import StreamHub
+
+    scfg = StreamConfig(smoothing_window=3)
+    chunk = 3200
+    hub = StreamHub(service, n_slots=2, cfg=scfg, chunk_samples=chunk, pipelined=True)
+    sid = hub.open()
+    rng = np.random.default_rng(87)
+    chunks = (rng.standard_normal((6, chunk)) * 0.1).astype(np.float32)
+
+    class Boom:
+        def __array__(self, *a, **k):
+            raise RuntimeError("device lost")
+
+    real_process = hub._bs.process
+    fail_once = [True]
+
+    def flaky_process(state, chs, mask):
+        state, post = real_process(state, chs, mask)
+        if fail_once[0]:
+            fail_once[0] = False
+            return state, Boom()
+        return state, post
+
+    out0 = hub.push(sid, chunks[0])  # first push: pending (no failure yet)
+    assert out0.get("pending") is True and "degraded" not in out0
+    hub._bs.process = flaky_process
+    try:
+        out1 = hub.push(sid, chunks[1])  # tick 1 dispatch ok, its FETCH fails
+    finally:
+        hub._bs.process = real_process
+    # out1 returns tick 0's result: fine, fetched before the failure.
+    assert "pending" not in out1
+    out2 = hub.push(sid, chunks[2])
+    # tick 1's fetch failed -> no result to deliver; degraded, not a
+    # re-delivery of tick 0's result.
+    assert out2.get("pending") is True and out2.get("degraded") is True
+    out3 = hub.push(sid, chunks[3])
+    # tick 2 fetched fine; subsequent results flow again, flagged degraded.
+    assert "pending" not in out3 and out3.get("degraded") is True
+    closed = hub.close(sid)
+    assert closed.get("degraded") is True
+    hub.shutdown()
