@@ -53,7 +53,14 @@ Ordering invariants: a session joins a new tick only after its previous
 tick was dispatched (pipelined) or applied (sync), so a session's chunks
 enter the slab in push order; tick applies are globally sequenced by
 dispatch order (``_applied_seq``), so detector cursors advance in chunk
-order even when fetches complete out of order.
+order even when fetches complete out of order. "Push order" means
+ARRIVAL order at ``push_rows``: a client that overlaps requests must
+preserve arrival order itself — HTTP/1.1 *pipelining on one connection*
+does (the server handles each connection's requests sequentially, and
+the response only waits for the PREVIOUS tick, so one pipelined
+connection still overlaps ticks); round-robining several connections
+does NOT (two server threads race to the hub, and chunks posted µs apart
+can swap).
 
 Failure semantics (VERDICT r4 #5): if the device-result FETCH fails, the
 device ring has still consumed every masked chunk, so the hub ADVANCES

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import base64
-import http.client
 import json
 import os
 import sys
@@ -134,32 +133,50 @@ def main(argv: list[str] | None = None) -> int:
 
     inflight = args.inflight or (2 if args.pipelined else 1)
     if inflight > 1 and not args.pipelined:
-        p.error("--inflight > 1 requires --pipelined (sync pushes would "
-                "block each other on the same sessions)")
+        p.error("--inflight > 1 requires --pipelined (sync responses wait for "
+                "their own tick, so pipelined requests would deadlock the "
+                "connection)")
 
     def gateway(g: int):
-        # Persistent HTTP/1.1 connections; with --inflight > 1 the gateway
-        # round-robins connections, posting the next tick before reading
-        # the previous response — the shape of a real streaming client,
-        # which does not block its audio loop on each result.
-        conns = [http.client.HTTPConnection("127.0.0.1", port) for _ in range(inflight)]
-        pending = [None] * inflight  # path awaiting a response per conn
+        # ONE persistent HTTP/1.1 connection per gateway, with true HTTP
+        # pipelining when --inflight > 1: the next tick's request bytes go
+        # onto the socket BEFORE the previous response is read. A single
+        # connection is the hub's documented overlap shape — the server
+        # handles a connection's requests sequentially, so chunk arrival
+        # order is preserved, while the lag-1 response rule still lets
+        # `inflight` ticks overlap (round-robining SEPARATE connections
+        # would race two server threads and could swap chunks).
+        import socket
 
-        def read_reply(c: int) -> dict:
-            resp = conns[c].getresponse()
-            data = resp.read()
-            if resp.status != 200:
-                raise RuntimeError(f"{pending[c]} -> {resp.status}: {data[:200]!r}")
-            pending[c] = None
+        sock = socket.create_connection(("127.0.0.1", port))
+        rfile = sock.makefile("rb")
+
+        def send_req(path: str, body: bytes, ctype: str) -> None:
+            head = (
+                f"POST {path} HTTP/1.1\r\nHost: bench\r\n"
+                f"Content-Type: {ctype}\r\nContent-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            sock.sendall(head + body)
+
+        def read_reply() -> dict:
+            status = rfile.readline()
+            code = int(status.split()[1])
+            clen = 0
+            while True:
+                line = rfile.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-length":
+                    clen = int(v)
+            data = rfile.read(clen)
+            if code != 200:
+                raise RuntimeError(f"-> {code}: {data[:200]!r}")
             return json.loads(data)
 
-        def post(c: int, path: str, body: bytes, ctype: str) -> None:
-            conns[c].request("POST", path, body, {"Content-Type": ctype})
-            pending[c] = path
-
         def rpc(path: str, obj) -> dict:
-            post(0, path, json.dumps(obj).encode(), "application/json")
-            return read_reply(0)
+            send_req(path, json.dumps(obj).encode(), "application/json")
+            return read_reply()
 
         try:
             sids = [rpc("/stream/open", {})["stream_id"] for _ in range(per_gateway)]
@@ -172,28 +189,28 @@ def main(argv: list[str] | None = None) -> int:
                 header = json.dumps({"stream_ids": sids}).encode()
                 frame = len(header).to_bytes(4, "little") + header + pcm * per_gateway
                 path, ctype = "/stream/push_bin", "application/octet-stream"
-            i = 0
+            outstanding = 0
             while not stop.is_set():
-                c = i % inflight
-                if pending[c] is not None:
-                    out = read_reply(c)
+                if outstanding >= inflight:
+                    out = read_reply()
                     assert len(out["results"]) == per_gateway
                     counts[g] += per_gateway
-                post(c, path, frame, ctype)
-                i += 1
-            for c in range(inflight):  # drain
-                if pending[c] is not None:
-                    out = read_reply(c)
-                    assert len(out["results"]) == per_gateway
-                    counts[g] += per_gateway
+                    outstanding -= 1
+                send_req(path, frame, ctype)
+                outstanding += 1
+            while outstanding:  # drain
+                out = read_reply()
+                assert len(out["results"]) == per_gateway
+                counts[g] += per_gateway
+                outstanding -= 1
             for sid in sids:
                 rpc("/stream/close", {"stream_id": sid})
         except Exception as e:  # pragma: no cover
             errors.append(repr(e))
             stop.set()
         finally:
-            for conn in conns:
-                conn.close()
+            rfile.close()
+            sock.close()
 
     threads = [threading.Thread(target=gateway, args=(g,)) for g in range(args.gateways)]
     t0 = time.perf_counter()

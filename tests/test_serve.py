@@ -4,6 +4,7 @@ HTTP endpoints (real socket), checkpoint resume."""
 import base64
 import json
 import threading
+import time
 import urllib.request
 
 import jax
@@ -1071,13 +1072,21 @@ def test_pipelined_overlapped_pushes_keep_lag_one(service):
         ref.append(np.asarray(post))
 
     sid = hub.open()
+    sess = hub._sessions[sid]
     outs = [None] * ticks
     with ThreadPoolExecutor(max_workers=2) as pool:
         pending = []
         for t in range(ticks):
-            # Keep two pushes in flight; submission order = chunk order,
-            # and push_rows itself enforces per-session dispatch order.
+            # Keep two pushes in flight. The hub's contract is ARRIVAL
+            # order (like one pipelined HTTP connection), so order the
+            # arrivals: wait until chunk t has joined a tick before
+            # submitting t+1 — while t's response is still outstanding.
+            before = sess.last_tick
             pending.append((t, pool.submit(hub.push, sid, audio[t])))
+            deadline = time.time() + 30
+            while sess.last_tick is before:
+                assert time.time() < deadline, "push never joined a tick"
+                time.sleep(0.001)
             if len(pending) == 2:
                 i, fut = pending.pop(0)
                 outs[i] = fut.result(timeout=60)
