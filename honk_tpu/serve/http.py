@@ -204,6 +204,28 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
         # fresh connect + server thread per request.
         protocol_version = "HTTP/1.1"
 
+        def _read_body(self) -> bytes | None:
+            """Read the request body, or respond + close on bad framing.
+
+            Under HTTP/1.1 keep-alive an unread (or unreadable) body would
+            be parsed as the next request line, silently shifting every
+            later response on a pipelined connection — so anything not
+            framed by a valid Content-Length (e.g. chunked transfer
+            encoding) gets an error AND ``close_connection``.
+            """
+            if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
+                self.close_connection = True
+                self._send(411, {"error": "Content-Length required (chunked "
+                                          "transfer encoding not supported)"})
+                return None
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self.close_connection = True
+                self._send(400, {"error": "invalid Content-Length"})
+                return None
+            return self.rfile.read(n)
+
         def _send(self, code: int, obj: dict[str, Any]) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -229,12 +251,14 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
                 self._send(404, {"error": "unknown endpoint"})
 
         def do_POST(self):
+            body = self._read_body()
+            if body is None:
+                return
             if self.path == "/stream/push_bin":
-                self._handle_push_bin()
+                self._handle_push_bin(body)
                 return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                payload = json.loads(self.rfile.read(n) or b"{}")
+                payload = json.loads(body or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": f"bad request: {e}"})
                 return
@@ -286,27 +310,25 @@ def make_handler(service: LabelService, trainer: TrainingService | None, hub: St
             else:
                 self._send(404, {"error": "unknown endpoint"})
 
-        def _handle_push_bin(self) -> None:
+        def _handle_push_bin(self, body: bytes) -> None:
             """Binary gateway tick: header JSON + raw PCM16, no base64.
 
             Frame: u32 LE header length | header JSON | PCM16 samples (one
             ``hub.chunk``-sample block per stream id, in header order).
+            The body is read by the caller (do_POST) even on error paths —
+            keep-alive framing, see _read_body.
             """
-            # Read the body FIRST even on error paths: under HTTP/1.1
-            # keep-alive, unread request bytes would be parsed as the next
-            # request line and desync the connection.
-            try:
-                n = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(n)
-            except ValueError as e:
-                self._send(400, {"error": f"bad request: {e}"})
-                return
             if hub is None:
                 self._send(503, {"error": "streaming disabled"})
                 return
             try:
                 hlen = int.from_bytes(body[:4], "little")
                 header = json.loads(body[4 : 4 + hlen])
+                if not isinstance(header, dict) or not isinstance(
+                    header.get("stream_ids"), list
+                ):
+                    raise ValueError("header must be a JSON object with a "
+                                     "stream_ids list")
                 sids = header["stream_ids"]
                 pcm = np.frombuffer(body[4 + hlen :], dtype="<i2")
                 if pcm.size != len(sids) * hub.chunk:

@@ -110,7 +110,7 @@ class _Tick:
     """One coalesced slab dispatch: chunks from one or more push calls."""
 
     __slots__ = (
-        "chunks", "mask", "sessions", "seq", "future", "claimed",
+        "chunks", "mask", "sessions", "prev_of", "seq", "future", "claimed",
         "dispatched", "done", "error", "fetch_error", "results",
     )
 
@@ -118,6 +118,9 @@ class _Tick:
         self.chunks = np.zeros((n_slots, chunk), dtype)
         self.mask = np.zeros((n_slots,), bool)
         self.sessions: list[StreamSession] = []
+        # sid -> the session's previous tick at join time: the rollback
+        # target if THIS tick's dispatch fails (nothing was consumed).
+        self.prev_of: dict[str, "_Tick | None"] = {}
         self.seq = -1  # assigned at successful dispatch
         self.future = None  # device array (unfetched posterior)
         self.claimed = False  # exactly one thread fetches+applies
@@ -235,7 +238,13 @@ class StreamHub:
             c = chunks_by_sid[sid]
             if c.shape != (self.chunk,):
                 raise ValueError(f"chunk must be {self.chunk} samples, got {c.shape}")
-            rows[k] = c
+            if c.dtype == np.int16:
+                # Raw PCM16 chunks scale like _decode_pcm16 — assigning
+                # them into the float staging buffer verbatim would feed
+                # the model 32768x-out-of-range audio.
+                rows[k] = c.astype(np.float32) / np.float32(32768.0)
+            else:
+                rows[k] = c
         return self.push_rows(sids, rows, want_posterior)
 
     def push_rows(
@@ -303,6 +312,7 @@ class StreamHub:
                         tick.chunks[sess.slot] = rows[k]
                         tick.mask[sess.slot] = True
                         tick.sessions.append(sess)
+                        tick.prev_of[sess.sid] = sess.last_tick
                         sess.last_tick = tick
                     self._cv.notify_all()  # leader may now have full coverage
                     break
@@ -364,6 +374,13 @@ class StreamHub:
                     )
                 except BaseException as e:
                     tick.error = e
+                    # Nothing was consumed: unwind each session's chain to
+                    # its pre-join tick, so the NEXT push still delivers
+                    # the previous chunk's (lag-1) result instead of a
+                    # spurious degraded/pending against the failed tick.
+                    for sess in tick.sessions:
+                        if sess.last_tick is tick:
+                            sess.last_tick = tick.prev_of[sess.sid]
                     return  # finally-block unblocks everyone
                 tick.seq = self._next_seq
                 self._next_seq += 1
@@ -409,7 +426,12 @@ class StreamHub:
             tick = self._fetch_q.get()
             if tick is None:  # shutdown sentinel
                 return
-            self._ensure_applied(tick)
+            try:
+                self._ensure_applied(tick)
+            except BaseException:  # pragma: no cover - belt and braces:
+                # a dead fetcher would strand later ticks; errors are
+                # already recorded on the tick (fetch_error) for callers.
+                continue
 
     def shutdown(self) -> None:
         """Stop the background fetcher pool (pipelined mode).
@@ -447,9 +469,17 @@ class StreamHub:
                 # fetches complete out of order.
                 while self._applied_seq != tick.seq - 1:
                     self._apply_cv.wait()
-                self._apply(tick, fetched)
-                self._applied_seq = tick.seq
-                self._apply_cv.notify_all()
+                try:
+                    self._apply(tick, fetched)
+                except BaseException as e:
+                    # Surfaced like a fetch failure (sync pushers raise it;
+                    # pipelined sessions see degraded/pending).
+                    tick.fetch_error = e
+                finally:
+                    # The seq chain ALWAYS advances — a wedged chain would
+                    # block every later tick's apply and hang the hub.
+                    self._applied_seq = tick.seq
+                    self._apply_cv.notify_all()
         finally:
             tick.done.set()
             with self._cv:

@@ -1150,3 +1150,79 @@ def test_pipelined_fetch_failure_yields_degraded_pending(service):
     closed = hub.close(sid)
     assert closed.get("degraded") is True
     hub.shutdown()
+
+
+def test_pipelined_dispatch_failure_rolls_back_session_chain(service):
+    """A DISPATCH failure consumed nothing: the session's tick chain must
+    roll back so the NEXT push still delivers the previous chunk's lag-1
+    result — not a spurious degraded/pending against the failed tick."""
+    from honk_tpu.config import StreamConfig
+    from honk_tpu.serve import StreamHub
+
+    scfg = StreamConfig(smoothing_window=3)
+    chunk = 3200
+    hub = StreamHub(service, n_slots=2, cfg=scfg, chunk_samples=chunk, pipelined=True)
+    sid = hub.open()
+    rng = np.random.default_rng(93)
+    chunks = (rng.standard_normal((4, chunk)) * 0.1).astype(np.float32)
+
+    out0 = hub.push(sid, chunks[0])
+    assert out0.get("pending") is True
+    out1 = hub.push(sid, chunks[1])  # delivers chunk 0's result
+    assert "pending" not in out1
+
+    real_process = hub._bs.process
+
+    def broken_process(state, chs, mask):
+        raise RuntimeError("dispatch refused")
+
+    hub._bs.process = broken_process
+    try:
+        with pytest.raises(RuntimeError, match="dispatch refused"):
+            hub.push(sid, chunks[2])
+    finally:
+        hub._bs.process = real_process
+    # The failed dispatch consumed nothing: re-pushing chunk 2 must return
+    # chunk 1's result (normal lag-1), with NO degraded flag.
+    out2 = hub.push(sid, chunks[2])
+    assert "pending" not in out2 and "degraded" not in out2
+    # And it is exactly chunk 1's result: compare against a clean hub.
+    hub2 = StreamHub(service, n_slots=2, cfg=scfg, chunk_samples=chunk, pipelined=True)
+    sid2 = hub2.open()
+    hub2.push(sid2, chunks[0])
+    hub2.push(sid2, chunks[1])
+    ref2 = hub2.push(sid2, chunks[2])
+    assert out2["posterior"] == ref2["posterior"]
+    hub.close(sid)
+    hub2.close(sid2)
+    hub.shutdown()
+    hub2.shutdown()
+
+
+def test_apply_exception_does_not_wedge_the_hub(service):
+    """An exception inside the vectorized apply must advance the global
+    apply sequence anyway (surfacing like a fetch failure) — otherwise
+    every later tick's apply waits forever and the whole hub hangs."""
+    from honk_tpu.serve import StreamHub
+
+    hub = StreamHub(service, n_slots=2, chunk_samples=3200)
+    sid = hub.open()
+    chunk = np.zeros(3200, np.float32)
+
+    real_apply = hub._apply
+    boom = [True]
+
+    def flaky_apply(tick, fetched):
+        if boom[0]:
+            boom[0] = False
+            raise RuntimeError("apply exploded")
+        return real_apply(tick, fetched)
+
+    hub._apply = flaky_apply
+    with pytest.raises(RuntimeError, match="apply exploded"):
+        hub.push(sid, chunk)
+    # The seq chain advanced despite the exception: later pushes and
+    # close() complete instead of hanging on the apply condition.
+    out = hub.push(sid, chunk)
+    assert "posterior" in out
+    assert "events" in hub.close(sid)
