@@ -1226,3 +1226,58 @@ def test_apply_exception_does_not_wedge_the_hub(service):
     out = hub.push(sid, chunk)
     assert "posterior" in out
     assert "events" in hub.close(sid)
+
+
+def test_push_bin_fuzz_never_kills_the_connection(service):
+    """Malformed binary frames (random bytes, truncated headers, non-dict
+    headers, wrong payload sizes, bogus lengths) must each produce a 4xx
+    JSON error WITHOUT desyncing the keep-alive connection — a valid
+    request afterwards on the SAME connection must still succeed."""
+    import http.client
+
+    httpd = serve(service, port=0, enable_training=False, n_stream_slots=2)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+
+        def post(path, body, ctype="application/octet-stream"):
+            conn.request("POST", path, body, {"Content-Type": ctype})
+            r = conn.getresponse()
+            data = r.read()
+            return r.status, json.loads(data)
+
+        status, o = post("/stream/open", b"{}", "application/json")
+        assert status == 200
+        sid = o["stream_id"]
+        good_header = json.dumps({"stream_ids": [sid]}).encode()
+        good = (
+            len(good_header).to_bytes(4, "little") + good_header
+            + b"\x00\x00" * 3200
+        )
+
+        rng = np.random.default_rng(5)
+        frames = [
+            b"",  # empty body
+            b"\x01",  # shorter than the length prefix
+            (10**6).to_bytes(4, "little") + b"{}",  # header length > body
+            len(b"[1,2]").to_bytes(4, "little") + b"[1,2]",  # non-dict header
+            len(b'{"x":1}').to_bytes(4, "little") + b'{"x":1}',  # no stream_ids
+            len(good_header).to_bytes(4, "little") + good_header + b"\x00" * 7,  # odd/short payload
+            rng.bytes(200),  # random garbage
+            len(b'{"stream_ids":["nope"]}').to_bytes(4, "little")
+            + b'{"stream_ids":["nope"]}' + b"\x00\x00" * 3200,  # unknown sid
+        ]
+        for i, frame in enumerate(frames):
+            status, err = post("/stream/push_bin", frame)
+            assert 400 <= status < 500, (i, status, err)
+            assert "error" in err, (i, err)
+            # The connection survives: a VALID push right after succeeds.
+            status, ok = post("/stream/push_bin", good)
+            assert status == 200 and sid in ok["results"], (i, status, ok)
+        status, _ = post("/stream/close", json.dumps({"stream_id": sid}).encode(),
+                         "application/json")
+        assert status == 200
+        conn.close()
+    finally:
+        httpd.shutdown()
