@@ -373,3 +373,39 @@ def test_stream_file_sharded_matches_unsharded(model_and_vars):
     assert [(e.time_s, e.label) for e in sharded_events] == [
         (e.time_s, e.label) for e in base_events
     ]
+
+
+def test_hub_vectorized_detector_threshold_boundary_parity():
+    """The hub's vectorized detect pass must compare scores to the
+    threshold in float64, exactly like the scalar detect_step — a float32
+    posterior within 1 ULP of an unrepresentable threshold (e.g. 0.7)
+    would otherwise diverge from the byte-identical-events contract."""
+    import numpy as np
+
+    from honk_tpu.config import StreamConfig
+    from honk_tpu.stream.streamer import DetectorState, detect_step
+
+    # np.float32(0.7) = 0.699999988... < 0.7 in float64: detect_step must
+    # NOT fire, and the vectorized comparison must agree.
+    cfg = StreamConfig(smoothing_window=1, detection_threshold=0.7, min_gap_windows=1)
+    row = np.zeros(4, np.float32)
+    row[2] = np.float32(0.7)
+    row[0] = np.float32(0.3) - row[2] + np.float32(0.3)  # keep argmax at 2
+    assert row.argmax() == 2
+    assert detect_step(row, DetectorState(), cfg, 0.2) is None  # f64: below
+
+    # Replicate the hub's vectorized comparison on the same row.
+    scores32 = row[np.newaxis, :][np.arange(1), row[np.newaxis, :].argmax(1)]
+    fired_f64 = bool((scores32.astype(np.float64) >= cfg.detection_threshold)[0])
+    assert fired_f64 is False  # matches detect_step
+    # The float32 weak-promotion comparison WOULD have fired — the exact
+    # divergence the hub's .astype(float64) guards against.
+    assert bool((scores32 >= np.float32(cfg.detection_threshold))[0]) is True
+
+    # And a score genuinely >= 0.7 fires in both.
+    row2 = row.copy()
+    row2[2] = np.float32(0.75)
+    e = detect_step(row2, DetectorState(), cfg, 0.2)
+    assert e is not None and e.label == 2
+    s2 = row2[np.newaxis, :][np.arange(1), row2[np.newaxis, :].argmax(1)]
+    assert bool((s2.astype(np.float64) >= cfg.detection_threshold)[0]) is True
